@@ -1,0 +1,117 @@
+"""Stage 1: text extraction + normalization over the ``pages`` table.
+
+Reference semantics: document full text is reconstructed deterministically
+from nested parts — ``"\\n".join(" ".join(passage.text))``
+(``bioel/bioel/utils/bigbio_utils.py:109``); PubMed XML extraction computes
+title/abstract text + offsets (``extract_pubmed_entities/
+extract_pubmed_entities.py:135-181``). The web graft's invariant is the same
+per url: ``html → text`` must be byte-identical to the reference rule.
+
+Our extraction rule (the analog of title-passage + body-passage joined with
+"\\n"): decode utf-8, take ``<title>...</title>`` contents and ``<body>...
+</body>`` contents with tags stripped and whitespace runs collapsed to single
+spaces, join as ``title + "\\n" + body``. The synthetic generator produces
+``text`` with the same rule, so the pytest byte-identity check
+(FIXTURES.md §1) pins the contract.
+
+Everything here is a pandas UDF over Arrow batches (html is a binary column;
+regex work happens in vectorized pandas .str ops where possible).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+_TITLE_RE = re.compile(rb"<title[^>]*>(.*?)</title>", re.S | re.I)
+_BODY_RE = re.compile(rb"<body[^>]*>(.*?)</body>", re.S | re.I)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+
+
+def _clean_fragment(raw: bytes) -> str:
+    s = raw.decode("utf-8", errors="replace")
+    s = _TAG_RE.sub(" ", s)
+    return _WS_RE.sub(" ", s).strip()
+
+
+def _extract_one(html: bytes | None) -> str:
+    if html is None:
+        return ""
+    t = _TITLE_RE.search(html)
+    b = _BODY_RE.search(html)
+    title = _clean_fragment(t.group(1)) if t else ""
+    body = _clean_fragment(b.group(1)) if b else ""
+    return title + "\n" + body
+
+
+@F.pandas_udf(StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    """html binary → extracted text (byte-identical contract per url)."""
+    return html.map(_extract_one)
+
+
+@F.pandas_udf(StringType())
+def extract_title(html: pd.Series) -> pd.Series:
+    """html binary → cleaned <title> text only (the blocking/scoring field)."""
+
+    def one(h: bytes | None) -> str:
+        if h is None:
+            return ""
+        m = _TITLE_RE.search(h)
+        return _clean_fragment(m.group(1)) if m else ""
+
+    return html.map(one)
+
+
+def normalized_domain(url: Column) -> Column:
+    """Pure-Catalyst domain normalization (no UDF): strip scheme, take host,
+    drop mirror prefixes (www./m./amp./mobile.) and the port.
+
+    The analog of the reference's string canonicalization before lookup
+    (lowercase ``sapbert/data/utils.py:88``, prefix fixes
+    ``evaluate.py:175-188``); mirrors are the sorted-neighborhood key family.
+    """
+    host = F.lower(F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1))
+    return F.regexp_replace(host, r"^(www\.|m\.|amp\.|mobile\.)+", "")
+
+
+def normalized_title(title: Column) -> Column:
+    """Catalyst-side title normalization: lowercase, strip punctuation to
+    spaces, collapse whitespace (analog of alias lowercasing + separator
+    splits, ``scispacy_embeddings.py:52-61``)."""
+    t = F.lower(title)
+    t = F.regexp_replace(t, r"[^\p{L}\p{N}]+", " ")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def run_extract(pages: DataFrame, lang_filter: str | None = "eng") -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → records ready for blocking.
+
+    - language filter (reference: ``query('lang == "ENG"')``,
+      ``bioel/bioel/ontology.py:361``) — pushed to the scan by Catalyst;
+    - per-url dedup keeping latest ``warc_ts`` (recrawls; reference analog:
+      mention dedup groupby ``bigbio_utils.py:256-268``);
+    - extracted_text (byte-identity contract), title, norm_domain,
+      norm_title columns.
+
+    At 100 TB the input is partitioned by ``bucket(url)`` so this stage is
+    shuffle-free except the per-url dedup, which co-locates with the bucket.
+    """
+    df = pages
+    if lang_filter is not None:
+        df = df.filter(F.col("lang") == lang_filter)
+    # latest-crawl-wins per url (window argmin analog, umls_utils.py:232)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    df = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    df = df.withColumn("extracted_text", extract_text(F.col("html")))
+    df = df.withColumn("title", extract_title(F.col("html")))
+    df = df.withColumn("norm_domain", normalized_domain(F.col("url")))
+    df = df.withColumn("norm_title", normalized_title(F.col("title")))
+    return df

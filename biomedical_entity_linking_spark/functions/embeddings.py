@@ -1,0 +1,84 @@
+"""Deterministic pooled "sentence embeddings" + cosine kernels.
+
+Reference semantics: dense retrieval pools transformer token embeddings into
+one vector per mention/entity and scores with inner product / cosine
+(``bioel/bioel/models/sapbert/model/model_wrapper.py:72-133``,
+``bioel/bioel/models/krissbert/model/model.py:131-151``). The sandbox has no
+model weights, so the embedding function is a *deterministic hash-based*
+stand-in: every token maps to a fixed pseudo-random unit-ish vector (seeded
+by the token's blake2b digest) and a text embeds as the L2-normalized mean of
+its token vectors. This preserves exactly the property the pipeline needs —
+texts sharing many tokens have high cosine — while being reproducible on any
+worker with zero model downloads.
+
+All entry points are batch kernels for Arrow pandas UDFs.
+"""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+
+import numpy as np
+import pandas as pd
+
+DIM = 64
+
+
+def _token_vector(token: str, dim: int = DIM) -> np.ndarray:
+    """Fixed pseudo-random vector per token (blake2b-seeded Gaussian)."""
+    seed = int.from_bytes(blake2b(token.encode("utf-8"), digest_size=8).digest(), "big")
+    rng = np.random.RandomState(seed % (2**32))
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+class TokenVectorCache:
+    """Per-executor memoization of token vectors (broadcast-free; tokens are
+    re-derived deterministically on every worker)."""
+
+    def __init__(self, dim: int = DIM):
+        self.dim = dim
+        self._cache: dict[str, np.ndarray] = {}
+
+    def get(self, token: str) -> np.ndarray:
+        v = self._cache.get(token)
+        if v is None:
+            v = _token_vector(token, self.dim)
+            self._cache[token] = v
+        return v
+
+
+def embed_text(text: str, cache: TokenVectorCache | None = None, dim: int = DIM) -> np.ndarray:
+    """Pooled embedding: L2-normalized mean of token vectors (lowercased,
+    whitespace-tokenized). Empty text → zero vector (the zero-vector guard
+    analog of ``candidate_generation.py:142-159`` drops these upstream)."""
+    cache = cache or TokenVectorCache(dim)
+    tokens = text.lower().split()
+    if not tokens:
+        return np.zeros(dim, dtype=np.float32)
+    acc = np.zeros(dim, dtype=np.float32)
+    for t in tokens:
+        acc += cache.get(t)
+    n = float(np.linalg.norm(acc))
+    if n == 0.0:
+        return np.zeros(dim, dtype=np.float32)
+    return acc / n
+
+
+def embed_batch(texts: pd.Series, dim: int = DIM) -> list[list[float]]:
+    """Batch kernel: Series[str] → list of dim-float lists."""
+    cache = TokenVectorCache(dim)
+    return [[float(x) for x in embed_text(t, cache, dim)] for t in texts.fillna("")]
+
+
+def cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Batch kernel: elementwise cosine between two array<float> Series.
+
+    Stacks both sides into (N, dim) float64 matrices — one vectorized numpy
+    pass per Arrow batch, no per-row Python arithmetic."""
+    ma = np.stack([np.asarray(x, dtype=np.float64) for x in a])
+    mb = np.stack([np.asarray(x, dtype=np.float64) for x in b])
+    num = np.einsum("ij,ij->i", ma, mb)
+    den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = np.where(den > 0, num / den, 0.0)
+    return pd.Series(out)

@@ -1,0 +1,105 @@
+"""Character shingling + MinHash signatures + LSH banding.
+
+Reference semantics: the sparse candidate generator builds char-3-gram
+(``char_wb``) tf-idf vectors and an approximate cosine index over them
+(``bioel/bioel/models/scispacy/scispacy_embeddings.py:148-152``, HNSW build
+``:119-129``). Our scale path replaces "ANN over char-ngram vectors" with
+MinHash-LSH over char-shingle *sets* (approx Jaccard), the standard
+shuffle-friendly blocking primitive: signatures are computed in Arrow
+batches, then banding turns each signature into a handful of join keys so
+candidate generation is a plain groupBy/self-join — no driver-side index.
+
+Determinism: shingle base-hash is blake2b-64 (keyed by a fixed seed), and the
+K permutations are fixed affine maps modulo a Mersenne prime. Same input →
+same signature on any worker, any Python, any run (PYTHONHASHSEED-proof).
+"""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+
+import numpy as np
+import pandas as pd
+
+# 2^31 - 1, Mersenne prime. Keeping the universe at 31 bits means every
+# intermediate product (a*x + b with a, b, x < 2^31) fits in uint64, so the
+# whole signature computation is a single overflow-free numpy broadcast.
+# 31-bit shingle-hash collisions are ~M^2/2^32 per document (negligible for
+# Jaccard estimation at M ~ 10^3 shingles).
+_MERSENNE = (1 << 31) - 1
+_MAX_HASH = np.uint64((1 << 31) - 1)
+
+
+def char_shingles(s: str, n: int = 3, pad: bool = True) -> set[str]:
+    """Character n-grams of the ``char_wb`` flavor: the string is lowercased
+    and space-padded so word boundaries generate shingles too (mirrors
+    sklearn's ``analyzer="char_wb"`` used at ``scispacy_embeddings.py:148``).
+    """
+    s = s.lower()
+    if pad:
+        s = " " + " ".join(s.split()) + " "
+    if len(s) < n:
+        return {s} if s.strip() else set()
+    return {s[i : i + n] for i in range(len(s) - n + 1)}
+
+
+def shingle_hashes(s: str, n: int = 3) -> np.ndarray:
+    """Deterministic uint64 hashes of the char-n-gram set (sorted array)."""
+    out = {
+        int.from_bytes(blake2b(g.encode("utf-8"), digest_size=8).digest(), "big")
+        & int(_MAX_HASH)
+        for g in char_shingles(s, n)
+    }
+    return np.fromiter(out, dtype=np.uint64, count=len(out))
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+class MinHasher:
+    """K-permutation MinHash with fixed affine permutations.
+
+    ``signature(hashes)`` is fully numpy-vectorized: (K,1)*(1,M) % p → min
+    over axis 1. Empty sets get the sentinel MAX so they never collide.
+    """
+
+    def __init__(self, num_perm: int = 128, seed: int = 42, ngram: int = 3):
+        self.num_perm = num_perm
+        self.ngram = ngram
+        self._a, self._b = _perm_params(num_perm, seed)
+
+    def signature(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.full(self.num_perm, _MAX_HASH, dtype=np.uint64)
+        x = hashes.astype(np.uint64)[None, :]  # (1, M), values < 2^31
+        a = self._a[:, None]  # (K, 1), values in [1, 2^31)
+        b = self._b[:, None]
+        sig = (a * x + b) % np.uint64(_MERSENNE)  # a*x+b < 2^62+2^31 — no overflow
+        return np.min(sig, axis=1)
+
+    def signature_for(self, s: str) -> np.ndarray:
+        return self.signature(shingle_hashes(s, self.ngram))
+
+    def signatures_batch(self, texts: pd.Series) -> list[list[int]]:
+        """Batch kernel for a pandas UDF: Series[str] → list of K-int lists."""
+        out: list[list[int]] = []
+        for s in texts.fillna(""):
+            out.append([int(v) for v in self.signature_for(s)])
+        return out
+
+
+def band_keys(signature: list[int], bands: int, rows: int) -> list[int]:
+    """LSH banding: hash each band of ``rows`` signature values to one join
+    key. Key encodes the band index so bands never cross-collide."""
+    keys = []
+    for b in range(bands):
+        h = blake2b(digest_size=8)
+        h.update(b.to_bytes(2, "big"))
+        for v in signature[b * rows : (b + 1) * rows]:
+            h.update(int(v).to_bytes(8, "big"))
+        keys.append(int.from_bytes(h.digest(), "big") >> 1)  # fit in int64
+    return keys

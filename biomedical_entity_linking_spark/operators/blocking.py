@@ -1,0 +1,193 @@
+"""Stage 2: candidate generation (blocking).
+
+Reference semantics: candidate generation retrieves a superset of plausible
+matches per mention via approximate similarity search — HNSW over char-3gram
+tf-idf (``bioel/bioel/models/scispacy/candidate_generation.py:162-183``) or
+FAISS over dense vectors (``eval_cluster_linking.py:56-87``) — deliberately
+over-retrieving then refining (``scispacy/evaluate.py:86``). The reference
+also restricts mention-mention candidates to the same document
+(``eval_cluster_linking.py:260-292``) — partition-by-attribute blocking.
+
+Spark-first re-expression: an ANN index is a driver-side data structure that
+cannot shard across 1000 executors; the distributed equivalent is **LSH
+banding as join keys**. Each record emits `bands` keys; records sharing any
+key co-block. A second, orthogonal key family — sorted-neighborhood over the
+normalized domain — catches pairs whose titles diverge but whose domains are
+adjacent (mirror hosts). Both families produce one unified
+``(key_kind, key, url)`` relation; pair generation is a single groupBy-less
+self-join on the key.
+
+Skew: a viral title makes one band key explode to O(n^2) pairs. We count key
+sizes first (one cheap agg over the exploded keys), then cap oversized
+blocks with a deterministic per-key sample and *log the drops* into the
+counters table — no silent truncation (north rule). AQE's skew-join split
+handles residual imbalance.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from ..functions.shingles import MinHasher, band_keys
+
+DEFAULT_NUM_PERM = 128
+DEFAULT_BANDS = 32  # 32 bands x 4 rows: P(collide) = 1-(1-j^4)^32; j=0.5 → 0.88
+DEFAULT_ROWS = 4
+
+
+def minhash_band_keys_udf(num_perm: int, bands: int, rows: int, ngram: int = 3):
+    """Arrow-batched pandas UDF: title → array of int64 LSH band keys.
+
+    Signature computation + banding fused in one UDF so the (large) K-int
+    signature never materializes in the shuffle — only ``bands`` keys per
+    row leave the stage.
+    """
+    assert bands * rows <= num_perm
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(titles: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        hasher = MinHasher(num_perm=num_perm, ngram=ngram)  # built once/worker
+        for batch in titles:
+            out = []
+            for s in batch.fillna(""):
+                hashes = hasher.signature_for(s)
+                if not s.strip():
+                    out.append([])  # zero-shingle guard (P8 analog)
+                    continue
+                out.append(band_keys([int(v) for v in hashes], bands, rows))
+            yield pd.Series(out)
+
+    return _udf
+
+
+def lsh_blocking_keys(
+    records: DataFrame,
+    text_col: str = "norm_title",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    rows: int = DEFAULT_ROWS,
+) -> DataFrame:
+    """records → (url, key_kind='lsh', key) — one row per band key."""
+    udf = minhash_band_keys_udf(num_perm, bands, rows)
+    return (
+        records.select("url", udf(F.col(text_col)).alias("keys"))
+        .select("url", F.explode("keys").alias("key"))
+        .withColumn("key_kind", F.lit("lsh"))
+    )
+
+
+def sorted_neighborhood_keys(
+    records: DataFrame,
+    sort_cols: tuple[str, str] = ("norm_domain", "norm_title"),
+    window: int = 4,
+) -> DataFrame:
+    """Sorted-neighborhood blocking: rank records by (domain, title) and key
+    each record to its rank-window bucket and the next one, so any two
+    records within ``window`` ranks share ≥1 key.
+
+    Reference analog: per-type partitioned indexes route queries to an
+    attribute partition (``data_process.py:664-684``). At cluster scale the
+    global rank is a ``repartitionByRange`` + per-partition ranks with
+    offsets; here ``row_number`` over the full order expresses the same plan
+    (Catalyst runs it as a range-partitioned sort, one shuffle).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(*[F.col(c) for c in sort_cols])
+    ranked = records.select("url", *sort_cols).withColumn(
+        "rank", F.row_number().over(w)
+    )
+    bucket = (F.col("rank") / window).cast("long")
+    # two overlapping bucket keys → neighbors within `window` always co-block
+    keyed = ranked.select(
+        "url",
+        F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+    )
+    # disambiguate from LSH key space via kind column
+    return keyed.select(
+        "url", F.col("bucket").alias("key"), F.lit("snm").alias("key_kind")
+    )
+
+
+def generate_candidate_pairs(
+    keys: DataFrame,
+    max_block_size: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """(url, key_kind, key) → canonical candidate pairs (url_a < url_b).
+
+    Returns ``(pairs, block_stats)`` where block_stats carries per-kind
+    counts of blocks, comparisons generated, and oversized-block drops —
+    the lineage counters the north rule requires.
+
+    Oversized blocks (hot keys) are capped: only the ``max_block_size``
+    rows with smallest ``url`` hash stay (deterministic), the rest of that
+    key's rows are dropped *for that key only* — they still pair under
+    their other keys. Drops are logged, never silent.
+    """
+    sizes = keys.groupBy("key_kind", "key").agg(F.count("*").alias("block_size"))
+
+    # singleton blocks generate no pairs — drop them before the self-join.
+    # NOT broadcast: `sizes` has one row per distinct key (O(n*bands) at
+    # scale); this shuffle join co-partitions with the window below, so the
+    # exchange is reused.
+    keyed = keys.join(sizes.filter(F.col("block_size") > 1), ["key_kind", "key"])
+    # deterministic cap: rank rows within hot keys by stable hash, keep first N
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("key_kind", "key").orderBy(F.xxhash64("url"))
+    capped = (
+        keyed.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_block_size)
+        .drop("_r")
+    )
+
+    pairs = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.key_kind") == F.col("b.key_kind"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.url") < F.col("b.url")),  # self/dup guard (J12)
+        )
+        .select(
+            F.col("a.url").alias("url_a"),
+            F.col("b.url").alias("url_b"),
+            F.col("a.key_kind").alias("key_kind"),
+            F.col("a.key").alias("key"),
+        )
+    )
+    # a pair may co-block under many keys — dedup before scoring (P9/X14)
+    distinct_pairs = pairs.select("url_a", "url_b").dropDuplicates(
+        ["url_a", "url_b"]
+    )
+
+    stats = sizes.groupBy("key_kind").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(F.when(F.col("block_size") > 1, 1).otherwise(0)).alias(
+            "n_blocks_ge2"
+        ),
+        F.sum(
+            F.least(F.col("block_size"), F.lit(max_block_size))
+            * (F.least(F.col("block_size"), F.lit(max_block_size)) - 1)
+            / 2
+        )
+        .cast("long")
+        .alias("comparisons_generated"),
+        F.sum(
+            F.greatest(F.col("block_size") - max_block_size, F.lit(0))
+        ).alias("rows_capped"),
+        F.max("block_size").alias("max_block_size_seen"),
+    )
+    return distinct_pairs, stats
+
+
+def blocking_keys(records: DataFrame, snm_window: int = 4) -> DataFrame:
+    """Union of both key families over extracted records."""
+    lsh = lsh_blocking_keys(records)
+    snm = sorted_neighborhood_keys(records, window=snm_window)
+    return lsh.unionByName(snm.select("url", "key", "key_kind"))

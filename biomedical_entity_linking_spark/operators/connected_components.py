@@ -1,0 +1,140 @@
+"""Stage 4: transitive clustering — large-star / small-star connected
+components as iterative DataFrame self-joins.
+
+Reference semantics: the cluster-linking partitioner takes the joint k-NN
+graph, sparsifies it, and reads entity assignments off connected components
+computed by ``scipy.sparse.csgraph.connected_components``
+(``bioel/bioel/models/arboel/biencoder/model/eval_cluster_linking.py:
+90-146``). SciPy's BFS is a single-machine algorithm; the distributed
+re-expression (named by the north rule) is the alternating large-star /
+small-star iteration of Kiveris et al., "Connected Components in MapReduce
+and Beyond" (SOCC 2014) — each round is a groupBy-min + join, i.e. pure
+shuffle algebra, converging in O(log^2 n) rounds (in practice < 10).
+
+  large-star: every node points its *larger* neighbors at the minimum of its
+              closed neighborhood;
+  small-star: every node points its *smaller-or-equal* neighbors (and
+              itself) at that minimum.
+
+Node ids are kept as their natural type (url strings here): component label
+= lexicographically smallest member, which doubles as the deterministic
+canonical-representative readoff (G5 analog — the reference picks the
+lowest-index entity of each cluster, ``eval_cluster_linking.py:149-257``).
+At extreme scale, swap strings for dense longs (zipWithIndex-style) to
+shrink shuffle width — semantics unchanged.
+
+Skew note: after a few rounds every component collapses onto its root, so
+the root's groupBy key is as hot as the largest component. Caps on block
+size upstream bound component fan-in; AQE skew-join splitting handles the
+rest. Each iteration checkpoints (localCheckpoint) to truncate lineage —
+without it the plan doubles every round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected canonical form: (src < dst), no self-loops, distinct."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(u,v) undirected → for each u: m = min(N(u) ∪ {u}); emit (v, m) ∀ v>u."""
+    both = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = both.groupBy("src").agg(F.min("dst").alias("min_nbr"))
+    mins = mins.select(
+        "src", F.least("min_nbr", "src").alias("m")
+    )
+    return (
+        both.filter(F.col("dst") > F.col("src"))
+        .join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Direct edges large→small; for each u: m = min(N_small(u) ∪ {u});
+    emit (v, m) for v ∈ N_small(u) ∪ {u}, v ≠ m."""
+    directed = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    mins = directed.groupBy("src").agg(F.min("dst").alias("m"))
+    to_small = (
+        directed.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_edges = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return to_small.unionAll(self_edges).filter(F.col("src") != F.col("dst"))
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor is overflow-free under ANSI mode (Spark 4 default), unlike sum
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 20,
+    src: str = "url_a",
+    dst: str = "url_b",
+) -> tuple[DataFrame, int]:
+    """edges(src, dst) → labels(url, component) plus the iteration count.
+
+    ``component`` is the minimum node id of the component. Raises if the
+    iteration hits ``max_iterations`` without converging (bounded-iteration
+    guard for adversarial chain topologies — SURVEY §7(b)).
+    """
+    cur = _canonical(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ).localCheckpoint(eager=True)
+    prev_sig = _checksum(cur)
+    iterations = 0
+    for _ in range(max_iterations):
+        iterations += 1
+        cur = _canonical(_small_star(_large_star(cur))).localCheckpoint(eager=True)
+        sig = _checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} iterations"
+        )
+
+    # At convergence edges form stars rooted at the component minimum
+    # (canonicalization stores them as (root, member)). Direction-agnostic
+    # readoff: label = min over the closed neighborhood — members get the
+    # root, the root gets itself.
+    members = (
+        cur.select(F.col("src").alias("url"), F.col("dst").alias("component"))
+        .unionAll(cur.select(F.col("dst").alias("url"), F.col("src").alias("component")))
+        .unionAll(cur.select(F.col("src").alias("url"), F.col("src").alias("component")))
+        .unionAll(cur.select(F.col("dst").alias("url"), F.col("dst").alias("component")))
+        .groupBy("url")
+        .agg(F.min("component").alias("component"))
+    )
+    return members, iterations
+
+
+def attach_singletons(labels: DataFrame, records: DataFrame, url_col: str = "url") -> DataFrame:
+    """Give unmatched records their own singleton component (their url)."""
+    return (
+        records.select(F.col(url_col).alias("url"))
+        .join(labels, "url", "left")
+        .select("url", F.coalesce("component", "url").alias("component"))
+    )

@@ -1,0 +1,191 @@
+"""End-to-end record-linkage pipeline with checkpointed stages, lineage
+counters, and resume.
+
+Reference semantics: the reference checkpoints expensive intermediates and
+skips recompute when the artifact exists — graph pickles
+(``BiEncoderLightningModule.py:350-356``), embedding caches
+(``sapbert/utils.py:138-156``), feather caches (``umls_utils.py:89-94``).
+Our stage runner does the same with tables: every stage writes a Parquet
+table + a ``_MANIFEST.json`` (config fingerprint, row count, per-partition
+counters); a rerun with the same fingerprint reads the table back instead of
+recomputing. In production these are Iceberg tables (atomic snapshot commit
+replaces the manifest file); the sandbox has no Iceberg jars, so the
+manifest provides the same commit-marker semantics — a partially written
+directory without a manifest is treated as absent.
+
+Stages: extract → block → pairs → score → cc → clusters. Counters (pairs
+generated / pairs scored / edges emitted, per partition) satisfy the north
+rule's lineage requirement and feed the no-silent-truncation checks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import asdict, dataclass, field
+from hashlib import blake2b
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extract import run_extract
+from .operators.blocking import blocking_keys, generate_candidate_pairs
+from .operators.connected_components import attach_singletons, connected_components
+from .operators.scoring import (
+    DEFAULT_THRESHOLD,
+    build_features,
+    score_pairs,
+    threshold_edges,
+)
+
+
+@dataclass
+class PipelineConfig:
+    work_dir: str
+    lang_filter: str | None = "eng"
+    num_perm: int = 128
+    bands: int = 32
+    rows_per_band: int = 4
+    snm_window: int = 4
+    max_block_size: int = 64
+    threshold: float = DEFAULT_THRESHOLD
+    weights: dict = field(
+        default_factory=lambda: {"jw": 0.35, "tslev": 0.30, "cosine": 0.35}
+    )
+
+    def fingerprint(self, stage: str) -> str:
+        payload = json.dumps(
+            {"stage": stage, **{k: v for k, v in asdict(self).items() if k != "work_dir"}},
+            sort_keys=True,
+        )
+        return blake2b(payload.encode(), digest_size=8).hexdigest()
+
+
+class StageRunner:
+    """Write-once checkpointed stage execution (X4 analog)."""
+
+    def __init__(self, spark: SparkSession, cfg: PipelineConfig):
+        self.spark = spark
+        self.cfg = cfg
+        os.makedirs(cfg.work_dir, exist_ok=True)
+        self.counters: dict[str, dict] = {}
+
+    def _paths(self, stage: str) -> tuple[str, str]:
+        table = os.path.join(self.cfg.work_dir, stage)
+        manifest = os.path.join(self.cfg.work_dir, f"{stage}._MANIFEST.json")
+        return table, manifest
+
+    def has_checkpoint(self, stage: str) -> bool:
+        table, manifest = self._paths(stage)
+        if not os.path.exists(manifest):
+            return False
+        with open(manifest) as f:
+            meta = json.load(f)
+        return meta.get("fingerprint") == self.cfg.fingerprint(stage)
+
+    def read(self, stage: str) -> DataFrame:
+        table, _ = self._paths(stage)
+        return self.spark.read.parquet(table)
+
+    def commit(self, stage: str, df: DataFrame, extra: dict | None = None) -> DataFrame:
+        """Write table + per-partition counters + manifest (the atomic
+        commit marker — written last, so partial writes are invisible)."""
+        table, manifest = self._paths(stage)
+        if os.path.exists(table):
+            shutil.rmtree(table)
+        df.write.mode("overwrite").parquet(table)
+        out = self.spark.read.parquet(table)
+        part_counts = (
+            out.groupBy(F.spark_partition_id().alias("partition"))
+            .count()
+            .orderBy("partition")
+            .collect()
+        )
+        counters = {
+            "rows": int(sum(r["count"] for r in part_counts)),
+            "partitions": len(part_counts),
+            "per_partition_rows": {int(r["partition"]): int(r["count"]) for r in part_counts},
+            **(extra or {}),
+        }
+        self.counters[stage] = counters
+        with open(manifest, "w") as f:
+            json.dump(
+                {"fingerprint": self.cfg.fingerprint(stage), "counters": counters},
+                f,
+                indent=2,
+            )
+        return out
+
+    def run_stage(self, stage: str, fn, extra_fn=None) -> DataFrame:
+        if self.has_checkpoint(stage):
+            _, manifest = self._paths(stage)
+            with open(manifest) as f:
+                self.counters[stage] = json.load(f)["counters"]
+            return self.read(stage)
+        df = fn()
+        extra = extra_fn() if extra_fn else None
+        return self.commit(stage, df, extra)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: PipelineConfig,
+) -> dict[str, DataFrame]:
+    """Full pipeline. Returns the stage DataFrames (all checkpointed)."""
+    runner = StageRunner(spark, cfg)
+
+    records = runner.run_stage(
+        "extract",
+        lambda: run_extract(pages, cfg.lang_filter).select(
+            "url", "warc_ts", "extracted_text", "title", "norm_domain", "norm_title"
+        ),
+    )
+
+    keys = runner.run_stage(
+        "block", lambda: blocking_keys(records, snm_window=cfg.snm_window)
+    )
+
+    stats_holder: dict = {}
+
+    def _pairs() -> DataFrame:
+        pairs, stats = generate_candidate_pairs(keys, cfg.max_block_size)
+        stats_holder["stats"] = [r.asDict() for r in stats.collect()]
+        return pairs
+
+    pairs = runner.run_stage(
+        "pairs", _pairs, extra_fn=lambda: {"block_stats": stats_holder.get("stats")}
+    )
+
+    features = runner.run_stage("features", lambda: build_features(records))
+
+    scored = runner.run_stage(
+        "score", lambda: score_pairs(pairs, features, cfg.weights)
+    )
+
+    edges = runner.run_stage(
+        "edges", lambda: threshold_edges(scored, cfg.threshold)
+    )
+
+    cc_meta: dict = {}
+
+    def _cc() -> DataFrame:
+        labels, iterations = connected_components(edges)
+        cc_meta["iterations"] = iterations
+        return attach_singletons(labels, records)
+
+    clusters = runner.run_stage(
+        "clusters", _cc, extra_fn=lambda: {"cc_iterations": cc_meta.get("iterations")}
+    )
+
+    return {
+        "records": records,
+        "keys": keys,
+        "pairs": pairs,
+        "features": features,
+        "scored": scored,
+        "edges": edges,
+        "clusters": clusters,
+        "counters": runner.counters,  # type: ignore[dict-item]
+    }

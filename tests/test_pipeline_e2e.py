@@ -1,0 +1,106 @@
+"""End-to-end gate (north rule): pairwise F1 ≥ 0.99 on labeled candidate
+pairs within the same blocking keys, plus checkpoint/resume and lineage
+counters (FIXTURES.md §2, §5)."""
+
+import json
+import os
+
+import pytest
+
+from biomedical_entity_linking_spark.data.generator import corpus_to_spark, generate_corpus
+from biomedical_entity_linking_spark.operators.clusters import (
+    cluster_sizes,
+    label_candidate_pairs,
+    pairwise_prf,
+)
+from biomedical_entity_linking_spark.pipeline import PipelineConfig, run_pipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(spark, tmp_path_factory):
+    corpus = generate_corpus(n_entities=120, seed=42)
+    pages, gold = corpus_to_spark(spark, corpus)
+    wd = str(tmp_path_factory.mktemp("pipeline"))
+    cfg = PipelineConfig(work_dir=wd)
+    out = run_pipeline(spark, pages, cfg)
+    return {"out": out, "gold": gold, "cfg": cfg, "pages": pages, "spark": spark}
+
+
+def test_pairwise_f1_gate(pipeline_run):
+    out, gold = pipeline_run["out"], pipeline_run["gold"]
+    labeled = label_candidate_pairs(out["pairs"], gold, out["clusters"])
+    m = pairwise_prf(labeled)
+    assert m["n_pairs"] > 500
+    assert m["f1"] >= 0.99, m
+
+
+def test_counters_present_and_consistent(pipeline_run):
+    counters = pipeline_run["out"]["counters"]
+    for stage in ["extract", "block", "pairs", "features", "score", "edges", "clusters"]:
+        assert stage in counters
+        assert counters[stage]["rows"] >= 0
+        assert sum(counters[stage]["per_partition_rows"].values()) == counters[stage]["rows"]
+    # pairs scored == pairs generated (no silent truncation between stages)
+    assert counters["score"]["rows"] == counters["pairs"]["rows"]
+    assert counters["edges"]["rows"] <= counters["score"]["rows"]
+    # block stats carry skew accounting
+    stats = counters["pairs"]["block_stats"]
+    kinds = {s["key_kind"] for s in stats}
+    assert kinds == {"lsh", "snm"}
+    for s in stats:
+        assert s["comparisons_generated"] > 0
+        assert s["rows_capped"] >= 0
+
+
+def test_cluster_size_distribution(pipeline_run):
+    sizes = cluster_sizes(pipeline_run["out"]["clusters"])
+    biggest = sizes.agg({"size": "max"}).collect()[0][0]
+    # generator plants clusters of ≤8 pages (+ recrawls deduped upstream):
+    # no runaway transitive merge
+    assert biggest <= 12
+
+
+def test_resume_skips_recompute(pipeline_run):
+    """Rerun with the same work_dir + config: every stage must be read from
+    its checkpoint (manifest fingerprints match), producing identical
+    outputs — the X4 resume semantics."""
+    spark, cfg, pages = pipeline_run["spark"], pipeline_run["cfg"], pipeline_run["pages"]
+    before = {
+        s: os.path.getmtime(os.path.join(cfg.work_dir, s))
+        for s in ["extract", "pairs", "edges", "clusters"]
+    }
+    out2 = run_pipeline(spark, pages, cfg)
+    after = {
+        s: os.path.getmtime(os.path.join(cfg.work_dir, s))
+        for s in ["extract", "pairs", "edges", "clusters"]
+    }
+    assert before == after  # nothing rewritten
+    assert out2["clusters"].count() == pipeline_run["out"]["clusters"].count()
+
+
+def test_resume_recomputes_on_config_change(pipeline_run, tmp_path):
+    """A changed fingerprint (threshold) invalidates downstream stages."""
+    cfg = pipeline_run["cfg"]
+    manifest = os.path.join(cfg.work_dir, "edges._MANIFEST.json")
+    with open(manifest) as f:
+        fp = json.load(f)["fingerprint"]
+    cfg2 = PipelineConfig(work_dir=cfg.work_dir, threshold=cfg.threshold + 0.01)
+    assert cfg2.fingerprint("edges") != fp
+
+
+def test_viral_title_not_merged(pipeline_run):
+    """Pages sharing the viral 'Untitled Document' title are distinct
+    entities — body cosine must keep them apart (hot-key adversarial row)."""
+    out, gold = pipeline_run["out"], pipeline_run["gold"]
+    viral_urls = [
+        r["url"]
+        for r in out["records"]
+        .filter("norm_title = 'untitled document'")
+        .select("url")
+        .collect()
+    ]
+    assert len(viral_urls) >= 2
+    comps = (
+        out["clusters"].filter(out["clusters"].url.isin(viral_urls)).select("component").distinct().count()
+    )
+    assert comps == len(viral_urls)

@@ -1,0 +1,99 @@
+"""String-metric kernels vs hand-computed oracle values (FIXTURES.md §6)."""
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from biomedical_entity_linking_spark.functions.strings import (
+    jaro,
+    jaro_winkler,
+    jaro_winkler_batch,
+    levenshtein,
+    token_set_lev_batch,
+    token_set_levenshtein_ratio,
+)
+
+
+class TestJaro:
+    # classic textbook values
+    @pytest.mark.parametrize(
+        "a,b,expected",
+        [
+            ("MARTHA", "MARHTA", 0.944444),
+            ("DIXON", "DICKSONX", 0.766667),
+            ("JELLYFISH", "SMELLYFISH", 0.896296),
+            ("", "", 1.0),
+            ("a", "", 0.0),
+            ("abc", "abc", 1.0),
+        ],
+    )
+    def test_known_values(self, a, b, expected):
+        assert math.isclose(jaro(a, b), expected, abs_tol=1e-5)
+
+    @pytest.mark.parametrize(
+        "a,b,expected",
+        [
+            ("MARTHA", "MARHTA", 0.961111),
+            ("DIXON", "DICKSONX", 0.813333),
+            ("DWAYNE", "DUANE", 0.84),
+        ],
+    )
+    def test_winkler_known_values(self, a, b, expected):
+        assert math.isclose(jaro_winkler(a, b), expected, abs_tol=1e-5)
+
+    @given(st.text(max_size=30), st.text(max_size=30))
+    @settings(max_examples=200, deadline=None)
+    def test_symmetric_and_bounded(self, a, b):
+        x = jaro_winkler(a, b)
+        assert 0.0 <= x <= 1.0
+        assert math.isclose(x, jaro_winkler(b, a), abs_tol=1e-12)
+
+
+class TestLevenshtein:
+    @pytest.mark.parametrize(
+        "a,b,expected",
+        [
+            ("kitten", "sitting", 3),
+            ("flaw", "lawn", 2),
+            ("", "abc", 3),
+            ("abc", "abc", 0),
+            ("über", "uber", 1),  # unicode
+        ],
+    )
+    def test_known_values(self, a, b, expected):
+        assert levenshtein(a, b) == expected
+
+    @given(st.text(max_size=20), st.text(max_size=20))
+    @settings(max_examples=200, deadline=None)
+    def test_metric_properties(self, a, b):
+        d = levenshtein(a, b)
+        assert d == levenshtein(b, a)
+        assert d >= abs(len(a) - len(b))
+        assert d <= max(len(a), len(b))
+
+
+class TestTokenSet:
+    def test_reorder_invariant(self):
+        assert token_set_levenshtein_ratio("alpha beta gamma", "gamma alpha beta") == 1.0
+
+    def test_duplicate_invariant(self):
+        assert token_set_levenshtein_ratio("a b b c", "c b a") == 1.0
+
+    def test_partial(self):
+        r = token_set_levenshtein_ratio("alpha beta gamma", "alpha beta delta")
+        assert 0.5 < r < 1.0
+
+
+def test_batch_kernels_match_scalar():
+    a = pd.Series(["MARTHA", "kitten", "", None, "alpha beta"])
+    b = pd.Series(["MARHTA", "sitting", "x", "y", "beta alpha"])
+    jw = jaro_winkler_batch(a, b)
+    ts = token_set_lev_batch(a, b)
+    for i in range(len(a)):
+        sa = a[i] if isinstance(a[i], str) else ""
+        sb = b[i] if isinstance(b[i], str) else ""
+        assert math.isclose(jw[i], jaro_winkler(sa, sb), abs_tol=1e-12)
+        assert math.isclose(ts[i], token_set_levenshtein_ratio(sa, sb), abs_tol=1e-12)
