@@ -1,38 +1,311 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship record-linkage pipeline on a
+deterministic synthetic pages corpus sized for sf0.001. ``queries()`` /
+``oracle_sql()`` cover the operator inventory from SURVEY.md §2: the ER
+pipeline stages (rows-only — iterative CC is not SQL-expressible), the
+dedup family, text analysis, similarity search, and the relational
+operator-coverage queries (aggregations, joins, windows, set ops) on the
+TPC-H-ish tables.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biomedical_entity_linking_spark.operators import dedup as D
+from biomedical_entity_linking_spark.operators import similarity as SIM
+from biomedical_entity_linking_spark.operators import text_analysis as TA
+
+# ---------------------------------------------------------------------------
+# flagship: end-to-end ER pipeline on synthetic pages
+# ---------------------------------------------------------------------------
+
+_SF_ENTITIES = {  # pages-corpus size per sf dir (deterministic, seed=42)
+    "sf0.001": 120,
+    "sf0.01": 400,
+    "sf0.1": 4000,
+}
+
+
+def _er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_entity_linking_spark.data.generator import (
+        corpus_to_spark,
+        generate_corpus,
+    )
+    from biomedical_entity_linking_spark.pipeline import PipelineConfig, run_pipeline
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    n_entities = _SF_ENTITIES.get(sf_name, 120)
+    corpus = generate_corpus(n_entities=n_entities, seed=42)
+    pages, _ = corpus_to_spark(spark, corpus)
+    cfg = PipelineConfig(work_dir=tempfile.mkdtemp(prefix="er_pipeline_"))
+    out = run_pipeline(spark, pages, cfg)
+    return out["clusters"].orderBy("url")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full blocking → scoring → CC pipeline at sf0.001 scale."""
+    return _er_clusters(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# relational operator coverage (TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A6-style multi-agg groupBy with pre-filter (SURVEY §2.4)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-family 3-way join + agg + deterministic top-k (J1, O2)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q_TOP_REVENUE_ORDERS_SQL = """
+SELECT o_orderkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY o_orderkey, c_name
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_first_ship_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 window argmin: first shipment per supplier via row_number
+    (reference: rank-argmin canonical name, ``umls_utils.py:232``)."""
+    from pyspark.sql import Window as W
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    w = W.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_suppkey", "l_orderkey", "l_shipdate")
+        .orderBy("l_suppkey")
+    )
+
+
+Q_FIRST_SHIP_SQL = """
+SELECT l_suppkey, l_orderkey, l_shipdate
+FROM (
+  SELECT l_suppkey, l_orderkey, l_shipdate,
+         row_number() OVER (PARTITION BY l_suppkey
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+)
+WHERE rn = 1
+ORDER BY l_suppkey
+"""
+
+
+def q_order_priority_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 contingency crosstab via pivot with explicit values."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_CROSSTAB_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_user_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A13 per-key stats incl. countDistinct on the events table."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_USER_EVENT_STATS_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       round(sum(value), 6) AS total_value,
+       max(ts) AS last_ts
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family lag window: mean inter-event gap per user (seconds)."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer microseconds keep both engines exact (timestamps carry
+    # sub-second precision; float epoch seconds would diverge in the sum)
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.withColumn("gap_us", epoch_us - F.lag(epoch_us).over(w))
+    return (
+        gaps.filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum("gap_us").alias("sum_gap_us"),
+            F.count("*").alias("n_gaps"),
+            F.round(F.sum("gap_us") / F.count("*") / 1e6, 6).alias("avg_gap_sec"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_EVENT_GAPS_SQL = """
+SELECT user_id,
+       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+       count(*) AS n_gaps,
+       round(CAST(sum(gap_us) AS BIGINT) / count(*) / 1e6, 6) AS avg_gap_sec
+FROM (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q_purchasers_who_clicked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 set-op intersection via left-semi joins (reference: split-overlap
+    stats, ``statistics.py:22-58``)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clickers.join(buyers, "user_id", "left_semi").orderBy("user_id")
+
+
+Q_PURCHASERS_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship ER pipeline (rows-only: iterative CC not SQL-expressible)
+        "er_clusters": _er_clusters,
+        # dedup family
+        "exact_dedup": D.exact_dedup,
+        "ngram_jaccard_neardup": D.ngram_jaccard_neardup,
+        "minhash_lsh_candidates": D.minhash_lsh_candidates,
+        "simhash": D.simhash,
+        # text analysis
+        "token_stats": TA.token_stats,
+        "quality_scores": TA.quality_scores,
+        "lang_id": TA.lang_id,
+        "fingerprints": TA.fingerprints,
+        # similarity search
+        "cosine_topk": SIM.cosine_topk,
+        "ivf_topk": SIM.ivf_topk,
+        # relational coverage
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "first_ship_per_supplier": q_first_ship_per_supplier,
+        "order_priority_crosstab": q_order_priority_crosstab,
+        "user_event_stats": q_user_event_stats,
+        "event_gaps": q_event_gaps,
+        "purchasers_who_clicked": q_purchasers_who_clicked,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup": D.EXACT_DEDUP_SQL,
+        "ngram_jaccard_neardup": D.NGRAM_JACCARD_SQL,
+        "minhash_lsh_candidates": D.MINHASH_LSH_SQL,
+        "simhash": D.SIMHASH_SQL,
+        "token_stats": TA.TOKEN_STATS_SQL,
+        "quality_scores": TA.QUALITY_SCORES_SQL,
+        "lang_id": TA.LANG_ID_SQL,
+        "fingerprints": TA.FINGERPRINTS_SQL,
+        "cosine_topk": SIM.COSINE_TOPK_SQL,
+        "ivf_topk": SIM.IVF_TOPK_SQL,
+        "pricing_summary": Q_PRICING_SUMMARY_SQL,
+        "top_revenue_orders": Q_TOP_REVENUE_ORDERS_SQL,
+        "first_ship_per_supplier": Q_FIRST_SHIP_SQL,
+        "order_priority_crosstab": Q_CROSSTAB_SQL,
+        "user_event_stats": Q_USER_EVENT_STATS_SQL,
+        "event_gaps": Q_EVENT_GAPS_SQL,
+        "purchasers_who_clicked": Q_PURCHASERS_SQL,
+    }

@@ -1,0 +1,358 @@
+"""Deduplication operator family over the ``documents`` table.
+
+The large-scale training-data-pipeline companions to the ER pipeline: exact
+dedup (hash groupBy), n-gram Jaccard near-dup, MinHash+LSH near-dup, and
+SimHash. The first three are *pure Catalyst* (no UDFs) and every hash is
+md5-based so a DuckDB oracle can replicate them bit-for-bit; SimHash uses
+explode + bit algebra (also oracle-expressible).
+
+Reference analogs: dedup-by-key filters (``special_partition.pyx:366-382``),
+concat+drop_duplicates (``umls_utils.py:224,283``), and the same
+LSH-banding scheme the ER blocking stage uses (``operators/blocking.py``) —
+here re-expressed end-to-end in SQL-portable md5 arithmetic.
+
+Scale notes: shingle df-capping (drop shingles appearing in more than
+``max_df`` docs) bounds the self-join exactly the way the reference's
+``min_df=10`` prunes its tf-idf vocabulary (``scispacy_embeddings.py:149``)
+— inverted for the hot-key concern (X8). All joins are equi-joins on shingle
+or band keys → plain shuffle joins that AQE can re-balance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy(md5(text)): copy count + canonical (min) doc_id per content
+    hash. At 100 TB this is one hash-shuffle on a 16-byte key — map-side
+    partial agg halves the shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .orderBy("text_hash")
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash,
+       count(*) AS n_copies,
+       min(doc_id) AS canonical_doc_id
+FROM documents
+GROUP BY md5(text)
+ORDER BY text_hash
+"""
+
+
+# --------------------------------------------------------------------------
+# shared shingle relation (token 5-grams, md5-hashed, df-capped)
+# --------------------------------------------------------------------------
+
+NGRAM_N = 5
+MAX_DF = 50  # drop shingles shared by more than MAX_DF docs (hot-shingle cap)
+
+
+def _shingle_relation(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle_md5) distinct, with document-frequency capping.
+
+    Built from Catalyst primitives only: tokens → sequence → transform →
+    explode. The df-cap is a groupBy + join (logged drops happen via the
+    relation's own counts — callers can diff)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - F.lit(NGRAM_N - 1)),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, NGRAM_N), " ")),
+    )
+    sh = (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        # guard BEFORE sequence(): Spark errors on start > stop boundaries
+        .filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= NGRAM_N)
+        .select("doc_id", F.explode(shingles).alias("sh"))
+        .dropDuplicates(["doc_id", "sh"])
+    )
+    df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    return sh.join(df_counts.filter(F.col("df") <= MAX_DF), "sh").select(
+        "doc_id", "sh"
+    )
+
+
+_SHINGLES_CTE = f"""
+tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE length(trim(text)) > 0
+    AND len(regexp_split_to_array(trim(text), '\\s+')) >= {NGRAM_N}
+),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(toks[i:i+{NGRAM_N - 1}], ' ')) AS sh
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {NGRAM_N - 1})) AS i
+        FROM tok)
+),
+sh AS (
+  SELECT doc_id, sh FROM sh0
+  QUALIFY count(*) OVER (PARTITION BY sh) <= {MAX_DF}
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs
+# --------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.4
+
+
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard over df-capped 5-gram sets for every pair sharing ≥1
+    shingle; keep pairs ≥ threshold. Self-join on the shingle key — the
+    textbook inverted-index pair generation (J10 analog)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = _shingle_relation(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_shared,
+       round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 6) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup candidates (md5-arithmetic, SQL-portable)
+# --------------------------------------------------------------------------
+
+NUM_PERM = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+_P31 = (1 << 31) - 1
+
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 perms, affine maps mod 2^31-1 over md5-derived shingle
+    ints) → 4 bands × 4 rows → candidate pairs sharing ≥1 band, with the
+    signature-agreement Jaccard estimate.
+
+    Same banding math as the ER blocking stage, but expressed entirely in
+    relational algebra (shingles × perms → groupBy-min → band hash → self
+    join) so the DuckDB oracle replicates it exactly. Perm parameters are
+    fixed affine: a_i = 2i+1, b_i = 1000003·i.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = _shingle_relation(docs).withColumn(
+        "h", F.conv(F.substring("sh", 1, 15), 16, 10).cast("long") % _P31
+    )
+    perms = spark.range(NUM_PERM).select(F.col("id").alias("perm"))
+    sig = (
+        sh.crossJoin(perms)
+        .groupBy("doc_id", "perm")
+        .agg(
+            F.min(
+                ((F.col("perm") * 2 + 1) * F.col("h") + F.col("perm") * 1000003)
+                % _P31
+            ).alias("mh")
+        )
+    )
+    bands = (
+        sig.withColumn("band", (F.col("perm") / LSH_ROWS).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("perm", "mh"))
+                        ),
+                        lambda s: s["mh"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_key")
+        )
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    siga = sig.select(F.col("doc_id").alias("doc_a"), "perm", F.col("mh").alias("mh_a"))
+    sigb = sig.select(F.col("doc_id").alias("doc_b"), "perm", F.col("mh").alias("mh_b"))
+    est = (
+        cand.join(siga, "doc_a")
+        .join(sigb, ["doc_b", "perm"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
+                / NUM_PERM,
+                6,
+            ).alias("est_jaccard")
+        )
+    )
+    return est.orderBy("doc_a", "doc_b")
+
+
+MINHASH_LSH_SQL = f"""
+WITH {_SHINGLES_CTE},
+shh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(sh, 1, 15)) AS BIGINT) % {_P31} AS h
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, p.perm,
+         min(((p.perm * 2 + 1) * h + p.perm * 1000003) % {_P31}) AS mh
+  FROM shh, range(0, {NUM_PERM}) p(perm)
+  GROUP BY doc_id, p.perm
+),
+bands AS (
+  SELECT doc_id, CAST(perm / {LSH_ROWS} AS BIGINT) AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm, mh)) AS band_key
+  FROM sig
+  GROUP BY doc_id, CAST(perm / {LSH_ROWS} AS BIGINT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / {NUM_PERM}, 6)
+         AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b AND sb.perm = sa.perm
+GROUP BY doc_a, doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash (32-bit, over distinct tokens)
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: bit j set iff the sum over distinct
+    tokens of ±1 (sign = bit j of the token's md5-derived hash) is > 0.
+    Explode tokens × bit positions → conditional sum → bit re-assembly.
+    All integer algebra — identical in DuckDB."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+            ).alias("tok"),
+        )
+        .withColumn(
+            "th", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        )
+    )
+    bits = spark.range(SIMHASH_BITS).select(F.col("id").alias("bit"))
+    contrib = toks.crossJoin(bits).select(
+        "doc_id",
+        "bit",
+        # shiftright/shiftleft builtins take int literals only → F.expr
+        F.expr("CASE WHEN shiftright(th, cast(bit AS INT)) % 2 = 1 THEN 1 ELSE -1 END").alias("c"),
+    )
+    return (
+        contrib.groupBy("doc_id", "bit")
+        .agg(F.sum("c").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), cast(bit AS INT))"),
+                ).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+        .orderBy("doc_id")
+    )
+
+
+SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    FROM documents WHERE length(trim(text)) > 0
+  )
+),
+th AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS th
+  FROM toks
+),
+contrib AS (
+  SELECT doc_id, b.bit,
+         CASE WHEN (th >> CAST(b.bit AS INT)) % 2 = 1 THEN 1 ELSE -1 END AS c
+  FROM th, range(0, {SIMHASH_BITS}) b(bit)
+),
+bitsum AS (
+  SELECT doc_id, bit, sum(c) AS s FROM contrib GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(bit AS INT)
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM bitsum
+GROUP BY doc_id
+ORDER BY doc_id
+"""

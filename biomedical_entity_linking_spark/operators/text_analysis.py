@@ -1,0 +1,212 @@
+"""Text-analysis operators over the ``documents`` table — pure Catalyst.
+
+These are the training-data-pipeline operators (token counting, quality
+scoring, language ID, fingerprinting) the engine adds beyond the reference's
+own inventory. Every one of them is expressed exclusively with built-in
+``pyspark.sql.functions`` — no UDFs — so the whole stage stays inside
+whole-stage codegen and pushes column pruning to the Parquet scan. Each
+builder has a colocated DuckDB oracle with identical semantics.
+
+Reference analogs: tokenization/normalization scalar work
+(``bioel/bioel/utils/bigbio_utils.py:302-319`` word-window slicing;
+``sapbert/data/utils.py:88`` lowercasing), dataset statistics
+(``bioel/bioel/utils/statistics.py:6-75``), and the language filter
+(``bioel/bioel/ontology.py:361``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# BPE-ish tokenizer regex: letter runs | single digits | single punctuation.
+_BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+_STOP_EN = ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"]
+_STOP_DE = ["der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"]
+_STOP_FR = ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans"]
+_STOP_ES = ["el", "la", "los", "las", "y", "de", "un", "una", "es", "para"]
+
+
+def _tokens(col):
+    """Whitespace tokens; empty text → empty array (both engines agree)."""
+    return F.when(F.length(F.trim(col)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(col), r"\s+")
+    )
+
+
+def _sql_tokens(expr: str) -> str:
+    return (
+        f"CASE WHEN length(trim({expr})) = 0 THEN [] "
+        f"ELSE regexp_split_to_array(trim({expr}), '\\s+') END"
+    )
+
+
+# --------------------------------------------------------------------------
+# token counting
+# --------------------------------------------------------------------------
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.length("text").alias("n_chars_computed"),
+    ).orderBy("doc_id")
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       len({_sql_tokens('text')}) AS n_tokens,
+       len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+       length(text) AS n_chars_computed
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# quality scoring
+# --------------------------------------------------------------------------
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _tokens(F.col("text"))
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?'\"()-]", ""))
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(_STOP_EN)))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_q"),
+        F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(
+            (n_chars - F.size(toks) + 1) / F.greatest(n_tokens, F.lit(1)), 6
+        ).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+_STOP_EN_SQL = "[" + ",".join(f"'{w}'" for w in _STOP_EN) + "]"
+
+QUALITY_SCORES_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars_q,
+       round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             / greatest(length(text), 1), 6) AS alpha_ratio,
+       round(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(len(list_filter({_sql_tokens('text')},
+                             t -> list_contains({_STOP_EN_SQL}, lower(t))))
+             / greatest(len({_sql_tokens('text')}), 1), 6) AS stopword_ratio,
+       round((length(text) - len({_sql_tokens('text')}) + 1)
+             / greatest(len({_sql_tokens('text')}), 1), 6) AS avg_token_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# language identification (stopword-hit heuristic)
+# --------------------------------------------------------------------------
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.transform(_tokens(F.col("text")), lambda t: F.lower(t))
+
+    def hits(stops: list[str]):
+        return F.size(F.filter(toks, lambda t: t.isin(stops)))
+
+    en, de, fr, es = hits(_STOP_EN), hits(_STOP_DE), hits(_STOP_FR), hits(_STOP_ES)
+    best = F.greatest(en, de, fr, es)
+    pred = (
+        F.when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(de == best, F.lit("de"))
+        .when(fr == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return docs.select(
+        "doc_id",
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        fr.alias("fr_hits"),
+        es.alias("es_hits"),
+        pred.alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+def _hits_sql(stops: list[str]) -> str:
+    arr = "[" + ",".join(f"'{w}'" for w in stops) + "]"
+    return (
+        f"len(list_filter(list_transform({_sql_tokens('text')}, t -> lower(t)),"
+        f" t -> list_contains({arr}, t)))"
+    )
+
+
+LANG_ID_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_hits_sql(_STOP_EN)} AS en_hits,
+         {_hits_sql(_STOP_DE)} AS de_hits,
+         {_hits_sql(_STOP_FR)} AS fr_hits,
+         {_hits_sql(_STOP_ES)} AS es_hits
+  FROM documents
+)
+SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+       CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
+            WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+            WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+            WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM h
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# document fingerprinting (md5 of normalized text + min-shingle fingerprint)
+# --------------------------------------------------------------------------
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-doc fingerprint = md5 of lowercase/ws-collapsed text;
+    min-shingle fingerprint = min md5 over 8-token rolling windows (a
+    winnowing-style rolling-hash fingerprint; md5 keeps it engine-portable).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(7), F.lit(0))),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, 8), " ")),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_norm"),
+        F.when(n >= 8, F.array_min(windows)).alias("fp_minshingle"),
+    ).orderBy("doc_id")
+
+
+FINGERPRINTS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_norm,
+         {_sql_tokens('text')} AS toks
+  FROM documents
+)
+SELECT doc_id,
+       fp_norm,
+       CASE WHEN len(toks) >= 8 THEN
+         list_min([md5(array_to_string(toks[i:i+7], ' '))
+                   for i in generate_series(1, len(toks) - 7)])
+       END AS fp_minshingle
+FROM t
+ORDER BY doc_id
+"""
