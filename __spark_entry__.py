@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from biomedical_entity_linking_spark.operators import dedup as D
+from biomedical_entity_linking_spark.operators import evaluation as EV
 from biomedical_entity_linking_spark.operators import similarity as SIM
 from biomedical_entity_linking_spark.operators import text_analysis as TA
 
@@ -275,9 +276,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": TA.quality_scores,
         "lang_id": TA.lang_id,
         "fingerprints": TA.fingerprints,
-        # similarity search
+        # similarity search + labeled-candidate evaluation
         "cosine_topk": SIM.cosine_topk,
         "ivf_topk": SIM.ivf_topk,
+        "knn_label_recall": EV.knn_label_recall,
+        "content_tokens": EV.content_tokens,
+        "props_value_stats": EV.props_value_stats,
         # relational coverage
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
@@ -301,6 +305,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": TA.FINGERPRINTS_SQL,
         "cosine_topk": SIM.COSINE_TOPK_SQL,
         "ivf_topk": SIM.IVF_TOPK_SQL,
+        "knn_label_recall": EV.KNN_LABEL_RECALL_SQL,
+        "content_tokens": EV.CONTENT_TOKENS_SQL,
+        "props_value_stats": EV.PROPS_VALUE_STATS_SQL,
         "pricing_summary": Q_PRICING_SUMMARY_SQL,
         "top_revenue_orders": Q_TOP_REVENUE_ORDERS_SQL,
         "first_ship_per_supplier": Q_FIRST_SHIP_SQL,

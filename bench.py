@@ -1,0 +1,121 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "er_docs_per_sec": ...}
+
+The flagship ER pipeline runs on a deterministic synthetic pages corpus
+scaled to the sf dir (generated once into a cache dir, read as parquet so
+the timed section is pure pipeline). Generation time is excluded; pipeline
+checkpoint writes are included (they are part of the job's contract).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# entities per sf dir → ~2.7 pages/entity
+_SF_ENTITIES = {"sf0.001": 120, "sf0.01": 400, "sf0.1": 4000}
+
+_BENCH_QUERIES = [
+    "exact_dedup",
+    "ngram_jaccard_neardup",
+    "minhash_lsh_candidates",
+    "simhash",
+    "token_stats",
+    "quality_scores",
+    "lang_id",
+    "fingerprints",
+    "cosine_topk",
+    "ivf_topk",
+    "pricing_summary",
+    "top_revenue_orders",
+    "first_ship_per_supplier",
+    "user_event_stats",
+    "event_gaps",
+]
+
+
+def _pages_parquet(spark, sf_name: str, n_entities: int, cache_root: str) -> str:
+    """Generate (once) and cache the synthetic pages corpus as parquet."""
+    path = os.path.join(cache_root, f"pages_{sf_name}_{n_entities}_seed42")
+    marker = path + "._OK"
+    if not os.path.exists(marker):
+        from biomedical_entity_linking_spark.data.generator import (
+            corpus_to_spark,
+            generate_corpus,
+        )
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        corpus = generate_corpus(n_entities=n_entities, seed=42)
+        pages, _ = corpus_to_spark(spark, corpus)
+        pages.repartition(max(CPUS, 8)).write.mode("overwrite").parquet(path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry_mod
+    from biomedical_entity_linking_spark.pipeline import PipelineConfig, run_pipeline
+    from biomedical_entity_linking_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=CPUS)
+    sf_name = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
+    n_entities = int(
+        os.environ.get("BENCH_ER_ENTITIES", _SF_ENTITIES.get(sf_name, 4000))
+    )
+    cache_root = os.environ.get("BENCH_CACHE", "/tmp/spark_linkage_bench")
+    os.makedirs(cache_root, exist_ok=True)
+
+    timings: dict[str, float] = {}
+
+    # --- flagship ER pipeline (docs/sec headline) ---
+    pages_path = _pages_parquet(spark, sf_name, n_entities, cache_root)
+    pages = spark.read.parquet(pages_path)
+    n_pages = pages.count()
+    work_dir = os.path.join(cache_root, f"er_run_{sf_name}_{os.getpid()}")
+    t0 = time.time()
+    out = run_pipeline(spark, pages, PipelineConfig(work_dir=work_dir))
+    n_clusters = out["clusters"].count()
+    er_sec = time.time() - t0
+    timings["er_pipeline"] = round(er_sec, 3)
+    shutil.rmtree(work_dir, ignore_errors=True)
+
+    # --- operator benchmarks ---
+    qs = entry_mod.queries()
+    for name in _BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_name,
+                "cpus": CPUS,
+                "er_pages": n_pages,
+                "er_clusters": n_clusters,
+                "er_docs_per_sec": round(n_pages / er_sec, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Two-cluster-size scaling evidence (north rule): run the identical ER
+pipeline job on the same cached input at local[8] and local[32] (standing in
+for N and 4N executors — no real cluster in the sandbox), report docs/sec at
+both plus scaling efficiency = (T_8 / T_32) / 4.
+
+Each measurement runs in a fresh subprocess (a Spark master is fixed per
+JVM). Usage: python tools/scaling_bench.py [n_entities]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+_CHILD = r"""
+import json, os, shutil, sys, time
+sys.path.insert(0, ".")
+from biomedical_entity_linking_spark.session import get_spark
+from biomedical_entity_linking_spark.pipeline import PipelineConfig, run_pipeline
+
+cpus = int(sys.argv[1]); pages_path = sys.argv[2]
+spark = get_spark(app_name=f"scaling{cpus}", cores=cpus)
+pages = spark.read.parquet(pages_path)
+n = pages.count()
+# warm the JVM/python-worker pools so we time steady-state execution
+pages.limit(100).count()
+wd = f"/tmp/spark_linkage_scaling/run_{cpus}_{os.getpid()}"
+t0 = time.time()
+out = run_pipeline(spark, pages, PipelineConfig(work_dir=wd))
+nc = out["clusters"].count()
+dt = time.time() - t0
+shutil.rmtree(wd, ignore_errors=True)
+print(json.dumps({"cpus": cpus, "pages": n, "clusters": nc,
+                  "sec": round(dt, 2), "docs_per_sec": round(n / dt, 2)}))
+"""
+
+
+def _gen_pages(n_entities: int) -> str:
+    import sys
+
+    sys.path.insert(0, ".")
+    from biomedical_entity_linking_spark.data.generator import (
+        corpus_to_spark,
+        generate_corpus,
+    )
+    from biomedical_entity_linking_spark.session import get_spark
+
+    path = f"/tmp/spark_linkage_scaling/pages_{n_entities}_seed42"
+    if not os.path.exists(path + "._OK"):
+        spark = get_spark(app_name="scaling-gen", cores=16)
+        corpus = generate_corpus(n_entities=n_entities, seed=42)
+        pages, _ = corpus_to_spark(spark, corpus)
+        pages.repartition(64).write.mode("overwrite").parquet(path)
+        open(path + "._OK", "w").write("ok")
+        spark.stop()
+    return path
+
+
+def main() -> None:
+    n_entities = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    os.makedirs("/tmp/spark_linkage_scaling", exist_ok=True)
+    pages_path = _gen_pages(n_entities)
+
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, "-c", _CHILD, str(cpus), pages_path],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(results[cpus])
+
+    t8, t32 = results[8]["sec"], results[32]["sec"]
+    eff = (t8 / t32) / 4
+    summary = {
+        "pages": results[8]["pages"],
+        "local8_sec": t8,
+        "local8_docs_per_sec": results[8]["docs_per_sec"],
+        "local32_sec": t32,
+        "local32_docs_per_sec": results[32]["docs_per_sec"],
+        "speedup_8_to_32": round(t8 / t32, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
