@@ -186,6 +186,97 @@ def _row(url: str, ts: datetime, title: str, body: str, lang: str) -> dict:
     }
 
 
+def generate_pages_distributed(
+    spark,
+    n_entities: int,
+    seed: int = 42,
+    body_tokens: int = 40,
+    partitions: int | None = None,
+):
+    """Spark-parallel corpus generation for bench-scale corpora.
+
+    Each entity is generated from ``RandomState(seed ^ entity_id)`` so the
+    output is deterministic and independent of partitioning. Adversarial
+    roles are assigned by entity-id arithmetic: ``id % 50 == 49`` → viral
+    title, ``id % 97 == 0`` → empty title, ``id % 53 in (0, 1)`` →
+    hard-negative twins (twins share their word stem via the even id).
+
+    Returns (pages_df, gold_df): same schemas as ``corpus_to_spark``.
+    """
+    from pyspark.sql import functions as F
+
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for eid in pdf["id"]:
+                eid = int(eid)
+                rng = np.random.RandomState((seed ^ (eid * 2654435761)) % (2**32))
+                role_viral = eid % 50 == 49
+                role_empty = eid % 97 == 0
+                role_twin = eid % 53 in (0, 1)
+                if role_twin:
+                    stem_rng = np.random.RandomState(
+                        (seed ^ ((eid - eid % 2) * 2654435761) ^ 7) % (2**32)
+                    )
+                    words = _title_words(stem_rng, 4)
+                    if eid % 2 == 1:
+                        words = words[:-1] + [_VOCAB[rng.randint(len(_VOCAB))]]
+                else:
+                    words = _title_words(rng, int(rng.randint(3, 6)))
+                body_words = [
+                    _VOCAB[i] for i in rng.choice(len(_VOCAB), size=body_tokens)
+                ]
+                if role_viral or role_empty or role_twin:
+                    size = 1
+                else:
+                    size = int(rng.choice([1, 1, 2, 2, 3, 3, 4, 5, 6, 8]))
+                domain_core = (
+                    f"{words[0]}{words[1]}.{_TLDS[rng.randint(len(_TLDS))]}"
+                )
+                for v in range(size):
+                    if role_viral:
+                        title = "Untitled Document"
+                        url = f"https://{words[0]}site{eid}.com/untitled"
+                    elif role_empty:
+                        title = ""
+                        url = f"https://blank{eid}.net/x"
+                    else:
+                        title = (
+                            " ".join(words) if v == 0 else _perturb_title(rng, words)
+                        )
+                        mirror = _MIRRORS[rng.randint(len(_MIRRORS))] if v > 0 else ""
+                        url = f"https://{mirror}{domain_core}/{_slug(words, rng)}/{v}"
+                    body = _perturb_body(rng, body_words)
+                    ts = _EPOCH + timedelta(seconds=int(rng.randint(0, 10_000_000)))
+                    lang = (
+                        "eng"
+                        if rng.rand() > 0.05
+                        else str(rng.choice(["deu", "fra", "spa"]))
+                    )
+                    r = _row(url, ts, title, body, lang)
+                    r["cluster_id"] = eid
+                    rows.append(r)
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "warc_ts", "html", "text", "lang", "cluster_id"],
+            )
+
+    base = spark.range(0, n_entities, numPartitions=partitions)
+    out_schema = (
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, cluster_id long"
+    )
+    full = base.mapInPandas(gen, out_schema)
+    pages = full.select("url", "warc_ts", "html", "text", "lang")
+    gold = full.select("url", "cluster_id")
+    return pages, gold
+
+
 def corpus_to_spark(spark, corpus: Corpus):
     """Materialize as Spark DataFrames with the input-hint schema."""
     from pyspark.sql.types import (

