@@ -258,6 +258,120 @@ ORDER BY user_id
 """
 
 
+def q_part_vote_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15/W4: count-based vote with tie-grouped dense_rank (reference:
+    per-mention CUI vote counts ranked by count, ``evaluate.py:122-150``).
+    Keeps every part tied at the top count per supplier."""
+    from pyspark.sql import Window as W
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    votes = li.groupBy("l_suppkey", "l_partkey").agg(F.count("*").alias("n_votes"))
+    w = W.partitionBy("l_suppkey").orderBy(F.col("n_votes").desc())
+    return (
+        votes.withColumn("vote_rank", F.dense_rank().over(w))
+        .filter(F.col("vote_rank") == 1)
+        .select("l_suppkey", "l_partkey", "n_votes")
+        .orderBy("l_suppkey", "l_partkey")
+    )
+
+
+Q_PART_VOTE_RANK_SQL = """
+SELECT l_suppkey, l_partkey, n_votes
+FROM (
+  SELECT l_suppkey, l_partkey, count(*) AS n_votes,
+         dense_rank() OVER (PARTITION BY l_suppkey ORDER BY count(*) DESC)
+           AS vote_rank
+  FROM lineitem
+  GROUP BY l_suppkey, l_partkey
+)
+WHERE vote_rank = 1
+ORDER BY l_suppkey, l_partkey
+"""
+
+
+def q_order_part_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/T3 set semantics over collected arrays (reference: gold∩pred
+    overlap ``evaluate.py:216-227``, all-in/any-in eval modes): per order,
+    the sorted part set, whether it overlaps the hot-part list
+    (arrays_overlap = relaxed mode), and whether every part is hot
+    (forall = strict mode)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    hot = [1, 2, 3, 5, 8, 13, 21, 34]
+    sets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    hot_arr = F.array(*[F.lit(x) for x in hot])
+    return (
+        sets.select(
+            "l_orderkey",
+            F.size("parts").alias("n_parts"),
+            F.arrays_overlap("parts", hot_arr).alias("any_hot"),
+            F.forall("parts", lambda p: p.isin(hot)).alias("all_hot"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+_HOT_SQL = "[1, 2, 3, 5, 8, 13, 21, 34]"
+
+Q_ORDER_PART_SETS_SQL = f"""
+SELECT l_orderkey,
+       len(parts) AS n_parts,
+       list_has_any(parts, {_HOT_SQL}) AS any_hot,
+       len(list_filter(parts, p -> NOT list_contains({_HOT_SQL}, p))) = 0
+         AS all_hot
+FROM (
+  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+  FROM lineitem
+  GROUP BY l_orderkey
+)
+ORDER BY l_orderkey
+"""
+
+
+def q_ordered_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 ordered dedup preserving first occurrence (reference: candidate
+    list dedup, ``evaluate.py:81-119``): per user, event types in first-
+    arrival order, deduped, via aggregate() over the collected sequence."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rn", "event_type"))
+            ).alias("seq")
+        )
+    )
+    dedup = F.aggregate(
+        F.transform(F.col("seq"), lambda s: s["event_type"]),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(F.array_contains(acc, x), acc).otherwise(
+            F.concat(acc, F.array(x))
+        ),
+    )
+    return seq.select("user_id", dedup.alias("type_order")).orderBy("user_id")
+
+
+Q_ORDERED_DEDUP_SQL = """
+SELECT user_id, list(event_type ORDER BY first_rn) AS type_order
+FROM (
+  SELECT user_id, event_type, min(rn) AS first_rn
+  FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+  )
+  GROUP BY user_id, event_type
+)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -290,6 +404,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_stats": q_user_event_stats,
         "event_gaps": q_event_gaps,
         "purchasers_who_clicked": q_purchasers_who_clicked,
+        "part_vote_rank": q_part_vote_rank,
+        "order_part_sets": q_order_part_sets,
+        "ordered_dedup_first": q_ordered_dedup_first,
     }
 
 
@@ -315,4 +432,7 @@ def oracle_sql() -> dict[str, str]:
         "user_event_stats": Q_USER_EVENT_STATS_SQL,
         "event_gaps": Q_EVENT_GAPS_SQL,
         "purchasers_who_clicked": Q_PURCHASERS_SQL,
+        "part_vote_rank": Q_PART_VOTE_RANK_SQL,
+        "order_part_sets": Q_ORDER_PART_SETS_SQL,
+        "ordered_dedup_first": Q_ORDERED_DEDUP_SQL,
     }

@@ -201,12 +201,25 @@ def generate_pages_distributed(
     title, ``id % 97 == 0`` → empty title, ``id % 53 in (0, 1)`` →
     hard-negative twins (twins share their word stem via the even id).
 
+    Vocabulary scales with the corpus (Zipf-like): each title/body token is
+    drawn from the small hot vocabulary with prob ~0.25, otherwise from a
+    synthetic long-tail space of ~10M distinct words. Without this, large
+    corpora built from a fixed 80-word vocabulary become adversarially
+    self-similar (measured: 36 candidate pairs/page at 1M entities — every
+    title collides with thousands of others at true-Jaccard level, which no
+    real web corpus exhibits).
+
     Returns (pages_df, gold_df): same schemas as ``corpus_to_spark``.
     """
     from pyspark.sql import functions as F
 
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def _word(rng: np.random.RandomState) -> str:
+        if rng.rand() < 0.25:
+            return _VOCAB[rng.randint(len(_VOCAB))]
+        return f"{_VOCAB[rng.randint(len(_VOCAB))]}{rng.randint(10_000_000)}"
 
     def gen(batches):
         import pandas as pd
@@ -223,14 +236,12 @@ def generate_pages_distributed(
                     stem_rng = np.random.RandomState(
                         (seed ^ ((eid - eid % 2) * 2654435761) ^ 7) % (2**32)
                     )
-                    words = _title_words(stem_rng, 4)
+                    words = [_word(stem_rng) for _ in range(4)]
                     if eid % 2 == 1:
-                        words = words[:-1] + [_VOCAB[rng.randint(len(_VOCAB))]]
+                        words = words[:-1] + [_word(rng)]
                 else:
-                    words = _title_words(rng, int(rng.randint(3, 6)))
-                body_words = [
-                    _VOCAB[i] for i in rng.choice(len(_VOCAB), size=body_tokens)
-                ]
+                    words = [_word(rng) for _ in range(int(rng.randint(3, 6)))]
+                body_words = [_word(rng) for _ in range(body_tokens)]
                 if role_viral or role_empty or role_twin:
                     size = 1
                 else:

@@ -89,6 +89,60 @@ def normalized_title(title: Column) -> Column:
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
+def apply_norm_rules(records: DataFrame, rules: DataFrame) -> DataFrame:
+    """Per-domain token normalization — the abbreviation-dictionary analog.
+
+    Reference: the Ab3P abbreviation map ``{document_id: {short: long}}``
+    applied as a per-document token replacement
+    (``bioel/bioel/utils/solve_abbreviation/abbreviations_utils.py:86-121``,
+    applied at ``bigbio_utils.py:322-341``). Here the dictionary is a
+    ``rules(domain, token, replacement)`` table; titles are re-written
+    token-by-token with order preserved:
+
+      posexplode(tokens) → left join rules on (domain, token) →
+      coalesce(replacement, token) → re-assemble via sorted collect.
+
+    Pure Catalyst, one shuffle on (domain, token); the rules side is
+    broadcast (dictionaries are small relative to the corpus).
+    """
+    toks = records.select(
+        "url",
+        "norm_domain",
+        F.posexplode(
+            F.split(F.col("norm_title"), " ")
+        ).alias("pos", "token"),
+    )
+    joined = toks.join(
+        F.broadcast(rules),
+        (toks.norm_domain == rules.domain) & (toks.token == rules.token),
+        "left",
+    ).select(
+        "url",
+        "pos",
+        F.coalesce(rules.replacement, toks.token).alias("token_norm"),
+    )
+    rebuilt = (
+        joined.groupBy("url")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token_norm"))),
+                    lambda s: s["token_norm"],
+                ),
+                " ",
+            ).alias("norm_title_rewritten")
+        )
+    )
+    return (
+        records.join(rebuilt, "url", "left")
+        .withColumn(
+            "norm_title",
+            F.coalesce("norm_title_rewritten", "norm_title"),
+        )
+        .drop("norm_title_rewritten")
+    )
+
+
 def run_extract(pages: DataFrame, lang_filter: str | None = "eng") -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → records ready for blocking.
 

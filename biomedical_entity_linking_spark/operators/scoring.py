@@ -42,14 +42,32 @@ _SCORE_SCHEMA = StructType(
 )
 
 
-def embed_udf():
-    """title+body text → pooled deterministic embedding (array<float>)."""
-    from pyspark.sql.types import ArrayType, FloatType
+SCORING_DIM = 32  # random-projection hash embeddings: 32 dims separate
+#                   near-identical bodies (cos ≈ 1) from unrelated ones
+#                   (cos ~ N(0, 1/sqrt(32))) with ample margin
+QUANT_SCALE = 127  # int8 quantization of the unit vector
 
-    @F.pandas_udf(ArrayType(FloatType()))
+
+def embed_udf(dim: int = SCORING_DIM):
+    """title+body text → pooled deterministic embedding, int8-quantized.
+
+    The unit vector is scaled by 127 and stored as array<tinyint> — 8x
+    fewer shuffle bytes than float64 when the pair join ships two
+    embeddings per candidate pair (X11 analog: the reference stores
+    vectors in fp16 on disk, ``scispacy_embeddings.py:143-146``)."""
+    from pyspark.sql.types import ArrayType, ByteType
+
+    @F.pandas_udf(ArrayType(ByteType()))
     def _udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
         for batch in texts:
-            yield pd.Series(embed_batch(batch, DIM))
+            vecs = embed_batch(batch, dim)
+            out = [
+                [int(x) for x in np.clip(np.round(np.asarray(v) * QUANT_SCALE), -127, 127).astype(np.int8)]
+                for v in vecs
+            ]
+            yield pd.Series(out)
 
     return _udf
 
@@ -77,16 +95,19 @@ def score_components_udf():
 
 
 def _cosine_expr(a, b):
-    """Catalyst-side cosine over two array<float> columns: zip_with dot +
-    aggregate norms — stays inside whole-stage codegen (no Arrow transfer).
-    Embeddings are pre-normalized to unit length at build time, so this is
-    a plain dot product with a zero-vector guard."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x.cast("double"),
-    )
-    return dot
+    """Catalyst-side cosine over two int8-quantized embedding columns:
+    dot / (|a|·|b|) via zip_with + aggregate — JVM expressions, no Arrow
+    transfer. Zero vectors (empty text) yield cosine 0."""
+    def _dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    num = _dot(a, b)
+    den = F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))
+    return F.when(den > 0, num / den).otherwise(F.lit(0.0))
 
 
 def build_features(records: DataFrame) -> DataFrame:

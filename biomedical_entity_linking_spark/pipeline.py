@@ -47,7 +47,7 @@ class PipelineConfig:
     num_perm: int = 128
     bands: int = 32
     rows_per_band: int = 4
-    snm_window: int = 4
+    snm_window: int = 2
     max_block_size: int = 64
     threshold: float = DEFAULT_THRESHOLD
     weights: dict = field(

@@ -35,7 +35,7 @@ def _warm(s: pd.Series) -> pd.Series:
     return s.str.len().astype("int64")
 
 pages.limit(2000).select(F.sum(_warm(F.col("url")))).collect()
-wd = f"/dev/shm/spark_linkage_scaling/run_{cpus}_{os.getpid()}"
+wd = f"/tmp/spark_linkage_scaling/run_{cpus}_{os.getpid()}"
 t0 = time.time()
 out = run_pipeline(spark, pages, PipelineConfig(work_dir=wd))
 nc = out["clusters"].count()
@@ -78,16 +78,19 @@ def main() -> None:
     pages_path = _gen_pages(n_entities)
 
     results = {}
-    env = dict(os.environ, SPARK_LINKAGE_TMPFS="1")
     for cpus in (8, 32):
         proc = subprocess.run(
             [sys.executable, "-c", _CHILD, str(cpus), pages_path],
             capture_output=True,
             text=True,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            env=env,
         )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if not json_lines:
+            print(f"child cpus={cpus} failed; stderr tail:")
+            print("\n".join(proc.stderr.splitlines()[-30:]))
+            raise SystemExit(1)
+        line = json_lines[-1]
         results[cpus] = json.loads(line)
         print(results[cpus])
 
