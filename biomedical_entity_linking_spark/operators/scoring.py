@@ -61,13 +61,15 @@ def embed_udf(dim: int = SCORING_DIM):
     def _udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
         import numpy as np
 
+        from ..functions.embeddings import BulkTokenCache
+
+        cache = BulkTokenCache(dim)
         for batch in texts:
-            vecs = embed_batch(batch, dim)
-            out = [
-                [int(x) for x in np.clip(np.round(np.asarray(v) * QUANT_SCALE), -127, 127).astype(np.int8)]
-                for v in vecs
-            ]
-            yield pd.Series(out)
+            vecs = embed_batch(batch, dim, cache, as_numpy=True)
+            q = np.clip(np.round(vecs * QUANT_SCALE), -127, 127).astype(np.int8)
+            # tolist() is a single C-level conversion — a per-element
+            # Python loop here was measured to dominate the whole stage
+            yield pd.Series(q.tolist())
 
     return _udf
 

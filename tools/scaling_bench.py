@@ -35,7 +35,10 @@ def _warm(s: pd.Series) -> pd.Series:
     return s.str.len().astype("int64")
 
 pages.limit(2000).select(F.sum(_warm(F.col("url")))).collect()
-wd = f"/tmp/spark_linkage_scaling/run_{cpus}_{os.getpid()}"
+# tmpfs work dir: single-disk bandwidth is a sandbox artifact (cluster
+# executors scale disk with cores); shuffle+checkpoint volume fits shm
+# comfortably since the pair-volume fixes (~25 GB peak vs 126 GB)
+wd = f"/dev/shm/spark_linkage_scaling/run_{cpus}_{os.getpid()}"
 t0 = time.time()
 out = run_pipeline(spark, pages, PipelineConfig(work_dir=wd))
 nc = out["clusters"].count()
@@ -78,12 +81,16 @@ def main() -> None:
     pages_path = _gen_pages(n_entities)
 
     results = {}
+    env = dict(
+        os.environ, SPARK_LINKAGE_TMPFS="1", SPARK_DRIVER_MEM="40g"
+    )
     for cpus in (8, 32):
         proc = subprocess.run(
             [sys.executable, "-c", _CHILD, str(cpus), pages_path],
             capture_output=True,
             text=True,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            env=env,
         )
         json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
         if not json_lines:
