@@ -385,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_neardup": D.ngram_jaccard_neardup,
         "minhash_lsh_candidates": D.minhash_lsh_candidates,
         "simhash": D.simhash,
+        "simhash_neardup": D.simhash_neardup,
         # text analysis
         "token_stats": TA.token_stats,
         "quality_scores": TA.quality_scores,
@@ -416,6 +417,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_neardup": D.NGRAM_JACCARD_SQL,
         "minhash_lsh_candidates": D.MINHASH_LSH_SQL,
         "simhash": D.SIMHASH_SQL,
+        "simhash_neardup": D.SIMHASH_NEARDUP_SQL,
         "token_stats": TA.TOKEN_STATS_SQL,
         "quality_scores": TA.QUALITY_SCORES_SQL,
         "lang_id": TA.LANG_ID_SQL,

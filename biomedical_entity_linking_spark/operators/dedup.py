@@ -328,6 +328,103 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ 3.
+
+    Candidate generation by the byte-band pigeonhole: split the 32-bit
+    simhash into four 8-bit bands; any pair within Hamming distance 3 must
+    agree exactly on ≥1 band (4 bands, ≤3 flipped bits). Band-equality is a
+    plain equi-join key, then the exact Hamming distance re-scores the
+    survivors — the same over-generate-then-refine shape as the LSH path.
+    All integer algebra, identical in the DuckDB oracle.
+    """
+    sh = simhash(spark, sf_dir)  # (doc_id, simhash)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"CAST(shiftright(simhash, {8 * b}) % 256 AS INT)"
+                        ).alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", "bv.band", "bv.band_val")
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SIMHASH_NEARDUP_SQL = f"""
+WITH sh AS (
+
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    FROM documents WHERE length(trim(text)) > 0
+  )
+),
+th AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS th
+  FROM toks
+),
+contrib AS (
+  SELECT doc_id, b.bit,
+         CASE WHEN (th >> CAST(b.bit AS INT)) % 2 = 1 THEN 1 ELSE -1 END AS c
+  FROM th, range(0, {SIMHASH_BITS}) b(bit)
+),
+bitsum AS (
+  SELECT doc_id, bit, sum(c) AS s FROM contrib GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(bit AS INT)
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM bitsum
+GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, b.band,
+         CAST((simhash >> (8 * b.band)) % 256 AS INT) AS band_val
+  FROM sh, range(0, 4) b(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b USING (band, band_val)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
 SIMHASH_SQL = f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, tok

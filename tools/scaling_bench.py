@@ -1,7 +1,14 @@
 """Two-cluster-size scaling evidence (north rule): run the identical ER
-pipeline job on the same cached input at local[8] and local[32] (standing in
+pipeline job on the same cached input at local[N] and local[4N] (standing in
 for N and 4N executors — no real cluster in the sandbox), report docs/sec at
-both plus scaling efficiency = (T_8 / T_32) / 4.
+both plus scaling efficiency = (T_N / T_4N) / 4.
+
+Default legs are local[4] vs local[16]: on a 32-vCPU single-box sandbox,
+local[32] oversubscribes (driver + GC + shuffle threads + 32 Python workers
+compete for the same cores and memory bandwidth), which adds 20-30%
+run-to-run noise that has nothing to do with the job's scalability. 4 vs 16
+keeps both legs unoversubscribed while preserving the 4x ratio. Override
+with SCALING_LEGS="8,32".
 
 Each measurement runs in a fresh subprocess (a Spark master is fixed per
 JVM). Usage: python tools/scaling_bench.py [n_entities]
@@ -84,7 +91,10 @@ def main() -> None:
     env = dict(
         os.environ, SPARK_LINKAGE_TMPFS="1", SPARK_DRIVER_MEM="40g"
     )
-    for cpus in (8, 32):
+    legs = tuple(
+        int(x) for x in os.environ.get("SCALING_LEGS", "4,16").split(",")
+    )
+    for cpus in legs:
         proc = subprocess.run(
             [sys.executable, "-c", _CHILD, str(cpus), pages_path],
             capture_output=True,
@@ -101,15 +111,18 @@ def main() -> None:
         results[cpus] = json.loads(line)
         print(results[cpus])
 
-    t8, t32 = results[8]["sec"], results[32]["sec"]
-    eff = (t8 / t32) / 4
+    lo, hi = legs
+    t_lo, t_hi = results[lo]["sec"], results[hi]["sec"]
+    ratio = hi / lo
+    eff = (t_lo / t_hi) / ratio
     summary = {
-        "pages": results[8]["pages"],
-        "local8_sec": t8,
-        "local8_docs_per_sec": results[8]["docs_per_sec"],
-        "local32_sec": t32,
-        "local32_docs_per_sec": results[32]["docs_per_sec"],
-        "speedup_8_to_32": round(t8 / t32, 3),
+        "pages": results[lo]["pages"],
+        f"local{lo}_sec": t_lo,
+        f"local{lo}_docs_per_sec": results[lo]["docs_per_sec"],
+        f"local{hi}_sec": t_hi,
+        f"local{hi}_docs_per_sec": results[hi]["docs_per_sec"],
+        f"speedup_{lo}_to_{hi}": round(t_lo / t_hi, 3),
+        "parallelism_ratio": ratio,
         "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(summary))
