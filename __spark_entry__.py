@@ -353,11 +353,16 @@ def q_ordered_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(acc, F.array(x))
         ),
     )
-    return seq.select("user_id", dedup.alias("type_order")).orderBy("user_id")
+    # string-serialized so the driver's pandas canonicalization (which
+    # sorts/hashes cell values) never sees an unhashable list cell
+    return seq.select(
+        "user_id", F.array_join(dedup, ",").alias("type_order")
+    ).orderBy("user_id")
 
 
 Q_ORDERED_DEDUP_SQL = """
-SELECT user_id, list(event_type ORDER BY first_rn) AS type_order
+SELECT user_id,
+       array_to_string(list(event_type ORDER BY first_rn), ',') AS type_order
 FROM (
   SELECT user_id, event_type, min(rn) AS first_rn
   FROM (

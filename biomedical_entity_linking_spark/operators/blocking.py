@@ -94,6 +94,7 @@ def sorted_neighborhood_keys(
     records: DataFrame,
     sort_cols: tuple[str, str] = ("norm_domain", "norm_title"),
     window: int = 4,
+    caches: list | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood blocking: rank records by (domain, title, url)
     and key each record to its rank-window bucket and the next one, so any
@@ -136,6 +137,8 @@ def sorted_neighborhood_keys(
     ranked = base.mapInPandas(
         ranker, "url string, pid int, local_rank long"
     ).persist()
+    if caches is not None:
+        caches.append(ranked)  # caller unpersists once key emission is written
     counts = {
         r["pid"]: r["count"]
         for r in ranked.groupBy("pid").count().collect()
@@ -172,6 +175,7 @@ def sorted_neighborhood_keys(
 def generate_candidate_pairs(
     keys: DataFrame,
     max_block_size: int = 64,
+    caches: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(url, key_kind, key) → canonical candidate pairs (url_a < url_b).
 
@@ -191,6 +195,8 @@ def generate_candidate_pairs(
         .agg(F.count("*").alias("block_size"))
         .persist()
     )
+    if caches is not None:
+        caches.append(sizes)  # caller unpersists after stats + pairs actions
 
     # singleton blocks generate no pairs — drop them before the self-join.
     # NOT broadcast: `sizes` has one row per distinct key (O(n*bands) at
@@ -247,8 +253,17 @@ def generate_candidate_pairs(
     return distinct_pairs, stats
 
 
-def blocking_keys(records: DataFrame, snm_window: int = 4) -> DataFrame:
+def blocking_keys(
+    records: DataFrame,
+    snm_window: int = 4,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS,
+    caches: list | None = None,
+) -> DataFrame:
     """Union of both key families over extracted records."""
-    lsh = lsh_blocking_keys(records)
-    snm = sorted_neighborhood_keys(records, window=snm_window)
+    lsh = lsh_blocking_keys(
+        records, num_perm=num_perm, bands=bands, rows=rows_per_band
+    )
+    snm = sorted_neighborhood_keys(records, window=snm_window, caches=caches)
     return lsh.unionByName(snm.select("url", "key", "key_kind"))

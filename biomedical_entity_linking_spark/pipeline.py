@@ -45,8 +45,8 @@ class PipelineConfig:
     work_dir: str
     lang_filter: str | None = "eng"
     num_perm: int = 128
-    bands: int = 32
-    rows_per_band: int = 4
+    bands: int = 16
+    rows_per_band: int = 8
     snm_window: int = 2
     max_block_size: int = 64
     threshold: float = DEFAULT_THRESHOLD
@@ -92,6 +92,11 @@ class StageRunner:
         """Write table + per-partition counters + manifest (the atomic
         commit marker — written last, so partial writes are invisible)."""
         table, manifest = self._paths(stage)
+        # remove the stale manifest FIRST: a crash mid-rewrite must leave the
+        # stage unambiguously absent, never an old fingerprint next to
+        # partial new data (torn-write hole)
+        if os.path.exists(manifest):
+            os.remove(manifest)
         if os.path.exists(table):
             shutil.rmtree(table)
         df.write.mode("overwrite").parquet(table)
@@ -146,20 +151,38 @@ def run_pipeline(
         ),
     )
 
+    stage_caches: list = []  # persisted frames scoped to one stage
+
+    def _drain_caches() -> None:
+        while stage_caches:
+            stage_caches.pop().unpersist()
+
     keys = runner.run_stage(
-        "block", lambda: blocking_keys(records, snm_window=cfg.snm_window)
+        "block",
+        lambda: blocking_keys(
+            records,
+            snm_window=cfg.snm_window,
+            num_perm=cfg.num_perm,
+            bands=cfg.bands,
+            rows_per_band=cfg.rows_per_band,
+            caches=stage_caches,
+        ),
     )
+    _drain_caches()
 
     stats_holder: dict = {}
 
     def _pairs() -> DataFrame:
-        pairs, stats = generate_candidate_pairs(keys, cfg.max_block_size)
+        pairs, stats = generate_candidate_pairs(
+            keys, cfg.max_block_size, caches=stage_caches
+        )
         stats_holder["stats"] = [r.asDict() for r in stats.collect()]
         return pairs
 
     pairs = runner.run_stage(
         "pairs", _pairs, extra_fn=lambda: {"block_stats": stats_holder.get("stats")}
     )
+    _drain_caches()
 
     features = runner.run_stage("features", lambda: build_features(records))
 

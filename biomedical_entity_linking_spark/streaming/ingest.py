@@ -44,12 +44,16 @@ def stream_pages(
     )
 
 
-def dedup_recrawls_stream(pages_stream: DataFrame, watermark: str = "1 day") -> DataFrame:
+def dedup_recrawls_stream(pages_stream: DataFrame, watermark: str = "30 days") -> DataFrame:
     """Suppress recrawl duplicates of the same url within the watermark
-    horizon (bounded state): keeps the first arrival per (url, warc_ts)."""
-    return pages_stream.withWatermark("warc_ts", watermark).dropDuplicates(
-        ["url", "warc_ts"]
-    )
+    horizon: keeps the first arrival per url; state for a url expires once
+    the watermark passes its first-seen event time (bounded state via
+    ``dropDuplicatesWithinWatermark``, so a recrawl with a *different*
+    warc_ts inside the horizon is still suppressed — dedup keyed on
+    (url, warc_ts) would never catch a recrawl, whose ts always differs)."""
+    return pages_stream.withWatermark(
+        "warc_ts", watermark
+    ).dropDuplicatesWithinWatermark(["url"])
 
 
 def ingest_to_table(

@@ -50,3 +50,41 @@ def test_availablenow_ingest_and_resume(spark, small_corpus, tmp_path):
     )
     # extract stage ran inside the stream: normalized columns present
     assert {"norm_domain", "norm_title", "extracted_text"} <= set(out.columns)
+
+
+def test_dedup_recrawls_suppresses_same_url_later_ts(spark, tmp_path):
+    """A recrawl = same url, LATER warc_ts (generator: +7 days). The stream
+    dedup must key on url alone within the watermark, else recrawls always
+    survive (they never share a warc_ts with the original)."""
+    import datetime
+
+    from biomedical_entity_linking_spark.streaming.ingest import (
+        dedup_recrawls_stream,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("https://a.example/x", t0, b"<html>a</html>", "a", "eng"),
+        # recrawl of the same url 7 days later, inside the 30-day watermark
+        ("https://a.example/x", t0 + datetime.timedelta(days=7), b"<html>a2</html>", "a2", "eng"),
+        ("https://b.example/y", t0, b"<html>b</html>", "b", "eng"),
+    ]
+    src = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    drop_dir = str(tmp_path / "dedup_drops")
+    src.coalesce(1).write.parquet(drop_dir)
+
+    deduped = dedup_recrawls_stream(stream_pages(spark, drop_dir))
+    out_dir = str(tmp_path / "dedup_out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 2  # recrawl suppressed
+    assert got.filter("url = 'https://a.example/x'").count() == 1

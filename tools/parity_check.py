@@ -30,14 +30,9 @@ def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
         # normalize ints to int64 where possible
         if pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
-        # list/array cells (spark arrays, duckdb lists) → canonical string
-        if df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: repr([x for x in v])
-                if isinstance(v, (list, tuple)) or hasattr(v, "__len__")
-                and not isinstance(v, (str, bytes))
-                else v
-            )
+    # NOTE: no list-cell stringification here — the driver's canonicalization
+    # sorts raw cells and dies on unhashable lists (CORRECTNESS_r01
+    # ordered_dedup_first), so queries must emit driver-sortable scalars.
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
