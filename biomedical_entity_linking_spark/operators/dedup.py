@@ -191,34 +191,37 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_relation(docs).withColumn(
         "h", F.conv(F.substring("sh", 1, 15), 16, 10).cast("long") % _P31
     )
-    perms = spark.range(NUM_PERM).select(F.col("id").alias("perm"))
-    sig = (
-        sh.crossJoin(perms)
-        .groupBy("doc_id", "perm")
-        .agg(
-            F.min(
-                ((F.col("perm") * 2 + 1) * F.col("h") + F.col("perm") * 1000003)
-                % _P31
-            ).alias("mh")
-        )
+    # ONE groupBy over the shingle relation with NUM_PERM min-agg
+    # expressions — no perms crossJoin (a 16x row/shuffle amplification at
+    # scale); the signature lands as a wide row per doc.
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(((2 * i + 1) * F.col("h") + i * 1000003) % _P31).alias(
+                f"mh{i}"
+            )
+            for i in range(NUM_PERM)
+        ]
     )
-    bands = (
-        sig.withColumn("band", (F.col("perm") / LSH_ROWS).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
+    # band keys from column slices of the wide signature (4-element explode
+    # over doc rows only — O(docs), not O(shingles))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("perm", "mh"))
-                        ),
-                        lambda s: s["mh"].cast("string"),
-                    ),
+                F.concat_ws(
                     ",",
+                    *[
+                        F.col(f"mh{i}").cast("string")
+                        for i in range(b * LSH_ROWS, (b + 1) * LSH_ROWS)
+                    ],
                 )
-            ).alias("band_key")
+            ).alias("band_key"),
         )
-    )
+        for b in range(LSH_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_key")
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "band_key"])
@@ -228,18 +231,26 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    siga = sig.select(F.col("doc_id").alias("doc_a"), "perm", F.col("mh").alias("mh_a"))
-    sigb = sig.select(F.col("doc_id").alias("doc_b"), "perm", F.col("mh").alias("mh_b"))
+    # signature agreement: two wide-row joins + a 16-term sum, no perm axis
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_PERM)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_PERM)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_PERM)
+    )
     est = (
         cand.join(siga, "doc_a")
-        .join(sigb, ["doc_b", "perm"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
-                / NUM_PERM,
-                6,
-            ).alias("est_jaccard")
+        .join(sigb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / NUM_PERM, 6).alias("est_jaccard"),
         )
     )
     return est.orderBy("doc_a", "doc_b")
@@ -290,7 +301,10 @@ SIMHASH_BITS = 32
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document: bit j set iff the sum over distinct
     tokens of ±1 (sign = bit j of the token's md5-derived hash) is > 0.
-    Explode tokens × bit positions → conditional sum → bit re-assembly.
+
+    Bit-parallel form: ONE groupBy(doc_id) with 32 conditional-sum agg
+    expressions (one per bit), then bit re-assembly in a single select —
+    no tokens × bits crossJoin (a 32x shuffle amplification at scale).
     All integer algebra — identical in DuckDB."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = (
@@ -305,27 +319,23 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "th", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
         )
     )
-    bits = spark.range(SIMHASH_BITS).select(F.col("id").alias("bit"))
-    contrib = toks.crossJoin(bits).select(
-        "doc_id",
-        "bit",
-        # shiftright/shiftleft builtins take int literals only → F.expr
-        F.expr("CASE WHEN shiftright(th, cast(bit AS INT)) % 2 = 1 THEN 1 ELSE -1 END").alias("c"),
-    )
-    return (
-        contrib.groupBy("doc_id", "bit")
-        .agg(F.sum("c").alias("s"))
-        .groupBy("doc_id")
-        .agg(
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(
-                    F.col("s") > 0,
-                    F.expr("shiftleft(CAST(1 AS BIGINT), cast(bit AS INT))"),
-                ).otherwise(F.lit(0))
-            ).alias("simhash")
-        )
-        .orderBy("doc_id")
+                F.when(F.expr(f"shiftright(th, {j}) % 2 = 1"), 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
     )
+    assemble = sum(
+        F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for j in range(SIMHASH_BITS)
+    )
+    return bit_sums.select(
+        "doc_id", assemble.alias("simhash")
+    ).orderBy("doc_id")
 
 
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

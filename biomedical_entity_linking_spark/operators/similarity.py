@@ -4,23 +4,30 @@ Reference semantics: the k-NN joins at the heart of candidate generation —
 FAISS flat / IVF inner-product search (``arboel/biencoder/data/
 data_process.py:517-562``, ``eval_cluster_linking.py:56-87``), brute-force
 matmul top-k (``sapbert/model/model_wrapper.py:72-133``), and the
-size-based exact-vs-IVF strategy switch (≤10k rows → flat, else IVF).
+size-based exact-vs-IVF strategy switch (≤10k rows → flat, else IVF,
+``data_process.py:545-562``).
 
 Two paths, mirroring that switch:
 
-* ``cosine_topk`` — brute-force baseline: the dictionary side is collected
-  and broadcast (it's the small side — same role as a broadcast hash join
-  build side), each partition matmuls its query batch against it in one
-  numpy call inside ``mapInPandas``. Correct at any k; O(n·m) — the
-  reference's own ≤10k regime.
-* ``ivf_topk`` — scale path: a deterministic coarse quantizer (sign bits of
-  the first 3 coordinates → 8 buckets) partitions the space; search is a
-  bucket-equi-join + window top-k. Pure Catalyst — the shuffle key IS the
-  IVF cell, which is exactly how a 1000-executor deployment shards ANN.
+* ``cosine_topk`` — brute-force baseline for small dictionaries: the
+  dictionary side is collected and broadcast (same role as a broadcast hash
+  join build side), each partition matmuls its query batch against it in
+  one numpy call inside ``mapInPandas``. Guarded by the G8 switch: above
+  ``BRUTE_FORCE_MAX`` rows it routes to ``ivf_topk`` instead of collecting
+  — the driver-OOM path is unreachable.
+* ``ivf_topk`` — scale path: a deterministic coarse quantizer (the first
+  8 sign bits of the vector, right-shifted to ``bits ≈ log2(√n)`` effective
+  bits → ~√n cells) shards the space; queries multi-probe their home cell
+  plus three Hamming-1 neighbors; scoring is a vectorized numpy matmul per
+  cell in a ``cogroup().applyInPandas`` kernel (the shuffle key IS the IVF
+  cell — exactly how a 1000-executor deployment shards ANN), then a global
+  window top-k merges the per-cell candidates. Candidate pairs never
+  materialize as rows; join parallelism = 2^bits grows with n.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -29,16 +36,51 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TOP_K = 3
+# G8 switch point (reference uses 10k: data_process.py:545-562)
+BRUTE_FORCE_MAX = 10_000
+_MAX_CELL_BITS = 8
+# multi-probe: home cell + three Hamming-1 flips (static so the SQL oracle
+# can enumerate them; distinct cells whenever bits >= 3)
+_PROBE_FLIPS = (0, 1, 2, 4)
+
+
+def _ivf_bits(n: int) -> int:
+    """Effective quantizer bits: 2^bits ≈ √n cells, clamped to [3, 8].
+
+    Mirrors the reference's ``nlist=√n`` IVF sizing (data_process.py:552).
+    floor(x+0.5) rounding matches the SQL oracle exactly (Python ``round``
+    is banker's; DuckDB's is not)."""
+    return min(
+        _MAX_CELL_BITS,
+        max(3, int(math.floor(math.log2(math.sqrt(max(n, 2))) + 0.5))),
+    )
+
+
+def _cell8_expr(v):
+    """First 8 sign bits of the vector as an int code (fixed-width so the
+    effective cell is one right shift — keeps the oracle SQL static)."""
+    return sum(
+        F.when(F.element_at(v, i + 1) > 0, F.lit(1 << (7 - i))).otherwise(F.lit(0))
+        for i in range(_MAX_CELL_BITS)
+    ).cast("int")
 
 
 def cosine_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
-    """Exact top-k cosine neighbors for every vector (excluding itself).
+    """Top-k cosine neighbors for every vector (excluding itself).
 
     Output: (vec_id, neighbor_id, rank) — scores deliberately omitted so
     the DuckDB oracle comparison is float-representation-proof; ordering is
     (cosine desc, neighbor_id asc), computed in float64 on both sides.
+
+    G8 size switch: dictionaries over ``BRUTE_FORCE_MAX`` rows route to the
+    IVF path instead of the driver collect (reference:
+    ``data_process.py:545-562`` — IndexFlatIP ≤10k else IndexIVFFlat).
     """
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()  # parquet metadata count — no full scan
+    if n > BRUTE_FORCE_MAX:
+        return ivf_topk(spark, sf_dir, k)
+
     rows = emb.select("vec_id", "embedding").collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
@@ -101,73 +143,111 @@ ORDER BY vec_id, rank
 """
 
 
-IVF_NPROBE_BITS = 3  # 2^3 = 8 coarse cells
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    bits: int | None = None,
+) -> DataFrame:
+    """IVF ANN: ~√n coarse cells from vector sign bits, Hamming-1
+    multi-probe, exact cosine within probed cells via a vectorized numpy
+    matmul per cell (cogroup/applyInPandas), global window top-k merge.
 
-
-def ivf_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
-    """IVF-lite ANN: coarse cell = sign bits of coordinates 0..2; exact
-    cosine re-score within the cell; window top-k. One equi-join shuffle on
-    the cell id — the distributed analog of FAISS ``nprobe=1`` IVF search.
-
-    Pure Catalyst: cosine via zip_with + aggregate higher-order functions.
+    The per-cell kernel emits at most k candidates per (query, cell), so
+    the merge input is ≤ len(_PROBE_FLIPS)·k rows per query — constant.
     """
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if bits is None:
+        bits = _ivf_bits(emb.count())
     v = F.col("embedding").cast("array<double>")
-    cell = (
-        F.when(F.element_at(v, 1) > 0, 4).otherwise(0)
-        + F.when(F.element_at(v, 2) > 0, 2).otherwise(0)
-        + F.when(F.element_at(v, 3) > 0, 1).otherwise(0)
+    cell = F.shiftright(_cell8_expr(v), _MAX_CELL_BITS - bits)
+    dict_side = emb.select("vec_id", v.alias("v"), cell.alias("cell"))
+    probes = dict_side.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[F.col("cell").bitwiseXOR(F.lit(f)) for f in _PROBE_FLIPS]
+            )
+        ).alias("cell"),
     )
-    e = emb.select("vec_id", v.alias("v"), cell.alias("cell"))
 
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda side: F.sqrt(
-        F.aggregate(
-            F.transform(F.col(f"{side}.v"), lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    pairs = (
-        e.alias("a")
-        .join(e.alias("b"), "cell")
-        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            (dot / (norm("a") * norm("b"))).alias("cos"),
-        )
+    def score_cell(qpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or dpdf.empty:
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "cos": pd.Series(dtype="float64")}
+            )
+        q = np.array(list(qpdf["v"]), dtype=np.float64)
+        d = np.array(list(dpdf["v"]), dtype=np.float64)
+        qn = np.linalg.norm(q, axis=1); qn[qn == 0] = 1.0
+        dn = np.linalg.norm(d, axis=1); dn[dn == 0] = 1.0
+        sims = (q / qn[:, None]) @ (d / dn[:, None]).T
+        qids = qpdf["vec_id"].to_numpy()
+        dids = dpdf["vec_id"].to_numpy()
+        out = []
+        for i, qid in enumerate(qids):
+            s = sims[i]
+            order = np.lexsort((dids, -s))  # cos desc, neighbor_id asc
+            picked = 0
+            for j in order:
+                if dids[j] == qid:
+                    continue
+                out.append((int(qid), int(dids[j]), float(s[j])))
+                picked += 1
+                if picked == k:
+                    break
+        return pd.DataFrame(out, columns=["vec_id", "neighbor_id", "cos"])
+
+    cand = (
+        probes.groupBy("cell")
+        .cogroup(dict_side.groupBy("cell"))
+        .applyInPandas(score_cell, "vec_id long, neighbor_id long, cos double")
     )
     from pyspark.sql import Window as W
 
     w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
         .orderBy("vec_id", "rank")
     )
 
 
+_CELL8_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << (7 - i)} ELSE 0 END)"
+    for i in range(_MAX_CELL_BITS)
+)
+_FLIPS_SQL = ", ".join(f"({f})" for f in _PROBE_FLIPS)
+
 IVF_TOPK_SQL = f"""
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
-          + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-          + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS cell
+WITH params AS (
+  SELECT least(greatest(CAST(floor(log2(sqrt(count(*))) + 0.5) AS INT), 3), 8)
+           AS bits
   FROM embeddings
 ),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         ({_CELL8_SQL}) AS cell8
+  FROM embeddings
+),
+ec AS (
+  SELECT vec_id, v, cell8 >> ({_MAX_CELL_BITS} - bits) AS cell
+  FROM e, params
+),
+probes AS (
+  SELECT vec_id, v, xor(cell, f.flip) AS cell
+  FROM ec, (VALUES {_FLIPS_SQL}) f(flip)
+),
 pairs AS (
-  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-         list_dot_product(a.v, b.v)
-           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+  SELECT q.vec_id AS vec_id, d.vec_id AS neighbor_id,
+         list_dot_product(q.v, d.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(d.v, d.v)))
            AS cos
-  FROM e a JOIN e b USING (cell)
-  WHERE a.vec_id <> b.vec_id
+  FROM probes q JOIN ec d USING (cell)
+  WHERE q.vec_id <> d.vec_id
 ),
 ranked AS (
   SELECT vec_id, neighbor_id,
