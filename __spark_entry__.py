@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from biomedical_entity_linking_spark.operators import dedup as D
 from biomedical_entity_linking_spark.operators import evaluation as EV
+from biomedical_entity_linking_spark.operators import metrics as MT
 from biomedical_entity_linking_spark.operators import similarity as SIM
 from biomedical_entity_linking_spark.operators import text_analysis as TA
 
@@ -400,6 +401,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": SIM.cosine_topk,
         "ivf_topk": SIM.ivf_topk,
         "knn_label_recall": EV.knn_label_recall,
+        "recall_modes": MT.recall_modes,
+        "map_at_k": MT.map_at_k,
+        "precision_at_k": MT.precision_at_k,
         "content_tokens": EV.content_tokens,
         "props_value_stats": EV.props_value_stats,
         # relational coverage
@@ -430,6 +434,9 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": SIM.COSINE_TOPK_SQL,
         "ivf_topk": SIM.IVF_TOPK_SQL,
         "knn_label_recall": EV.KNN_LABEL_RECALL_SQL,
+        "recall_modes": MT.RECALL_MODES_SQL,
+        "map_at_k": MT.MAP_AT_K_SQL,
+        "precision_at_k": MT.PRECISION_AT_K_SQL,
         "content_tokens": EV.CONTENT_TOKENS_SQL,
         "props_value_stats": EV.PROPS_VALUE_STATS_SQL,
         "pricing_summary": Q_PRICING_SUMMARY_SQL,

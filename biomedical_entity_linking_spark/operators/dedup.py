@@ -270,10 +270,12 @@ sig AS (
   GROUP BY doc_id, p.perm
 ),
 bands AS (
-  SELECT doc_id, CAST(perm / {LSH_ROWS} AS BIGINT) AS band,
+  -- floor(): DuckDB '/' is float division and CAST rounds; Spark's cast
+  -- truncates — floor gives the intended contiguous 4-perm bands
+  SELECT doc_id, CAST(floor(perm / {LSH_ROWS}) AS BIGINT) AS band,
          md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm, mh)) AS band_key
   FROM sig
-  GROUP BY doc_id, CAST(perm / {LSH_ROWS} AS BIGINT)
+  GROUP BY doc_id, CAST(floor(perm / {LSH_ROWS}) AS BIGINT)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -1,0 +1,325 @@
+"""Ranked-candidate evaluation metrics: three-mode recall, MAP@k,
+precision@k.
+
+Reference semantics (``bioel/bioel/evaluate.py``):
+
+* ``min_hit_index(gold, candidates, mode)`` (``:203-231``) — candidates is
+  a RANKED LIST OF SYNONYM SETS (``array<array<string>>``); the hit index
+  is 0-based; misses return the 1000000 sentinel (``:209,231``); the
+  ``candidates == [[]]`` guard returns the sentinel outright (``:209``).
+  - ``basic`` (``:211-217``): flatten the synsets preserving first
+    occurrence (``list_flatten`` ``:191-200``), first index whose element
+    is in gold.
+  - ``strict`` (``:218-221``): first synset index where ALL elements are
+    in gold (note: ``all([])`` is True — an empty synset hits).
+  - ``relaxed`` (``:222-227``): first synset index where ANY element is in
+    gold.
+* ``recall_at_k = (hit < k).mean()`` (``:256-258``).
+* ``precision_at_k_DK = (hit <= k-1).mean()`` (``:288-302``) and
+  ``precision_at_k = Σ 1/k [hit<k] / n`` (``:305-320``).
+* ``MAP@k = mean(hit <= k-1 ? 1/(hit+1) : 0)`` (``:323-351``).
+
+All three hit modes are pure Catalyst higher-order functions (aggregate /
+forall / exists over nested arrays) — no UDFs, whole-stage codegen, and a
+DuckDB oracle replicates them relationally (unnest + window dedup).
+
+Candidate construction here: per query vector, the cosine top-6 neighbors
+(exact, same join as ``cosine_topk``) grouped into 3 ranked synonym sets of
+2 labels each (sorted within the set for determinism); gold = the query's
+own label as a 1-element array. This mirrors the reference's
+candidates-as-synsets shape (``scispacy/evaluate.py:99-100`` equivalent-CUI
+synset expansion) while exercising forall/exists over genuinely nested
+arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity import cosine_topk
+
+MISS_SENTINEL = 1000000  # reference: bioel/bioel/evaluate.py:209
+N_NEIGHBORS = 6
+SYNSET_SIZE = 2
+MAX_K = 4
+
+
+# ---------------------------------------------------------------------------
+# hit-index expressions (generic over gold: array<string>,
+# candidates: array<array<string>>)
+# ---------------------------------------------------------------------------
+
+def _no_candidates(cand):
+    """The reference's ``candidates == [[]]`` guard (evaluate.py:209)."""
+    return (F.size(cand) == 1) & (F.size(F.element_at(cand, 1)) == 0)
+
+
+def _first_index(arr, pred):
+    """0-based index of the first element satisfying ``pred``, else the
+    miss sentinel — transform-with-index + filter + element_at (all
+    Catalyst higher-order fns, no explode)."""
+    idxs = F.filter(
+        F.transform(arr, lambda x, i: F.when(pred(x), i)),
+        lambda v: v.isNotNull(),
+    )
+    # F.get is null-on-out-of-bounds (ANSI element_at throws on empty)
+    return F.coalesce(F.get(idxs, 0), F.lit(MISS_SENTINEL))
+
+
+def ordered_dedup(arr):
+    """Flatten-preserving-first-occurrence (reference ``list_flatten``,
+    evaluate.py:191-200) over an already-flat array."""
+    return F.aggregate(
+        arr,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(F.array_contains(acc, x), acc).otherwise(
+            F.concat(acc, F.array(x))
+        ),
+    )
+
+
+def hit_basic(gold, cand):
+    flat = ordered_dedup(F.flatten(cand))
+    return F.when(_no_candidates(cand), F.lit(MISS_SENTINEL)).otherwise(
+        _first_index(flat, lambda x: F.array_contains(gold, x))
+    )
+
+
+def hit_strict(gold, cand):
+    return F.when(_no_candidates(cand), F.lit(MISS_SENTINEL)).otherwise(
+        _first_index(
+            cand, lambda ss: F.forall(ss, lambda y: F.array_contains(gold, y))
+        )
+    )
+
+
+def hit_relaxed(gold, cand):
+    return F.when(_no_candidates(cand), F.lit(MISS_SENTINEL)).otherwise(
+        _first_index(
+            cand, lambda ss: F.exists(ss, lambda y: F.array_contains(gold, y))
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# candidate relation from the embeddings table
+# ---------------------------------------------------------------------------
+
+def candidate_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, gold array<string>, candidates array<array<string>>).
+
+    Synset g (0-based) = sorted labels of cosine neighbors at ranks
+    2g+1..2g+2."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # labels as strings — gold db_ids are strings in the reference schema
+    # (bigbio_utils.py:214-216)
+    labels = emb.select("vec_id", F.col("label").cast("string").alias("label"))
+    nn = cosine_topk(spark, sf_dir, k=N_NEIGHBORS)
+    nb = labels.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    ranked = (
+        nn.join(nb, "neighbor_id")
+        .groupBy("vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rank", "n_label"))
+            ).alias("seq")
+        )
+    )
+    labs = F.transform(F.col("seq"), lambda s: s["n_label"])
+    n_synsets = N_NEIGHBORS // SYNSET_SIZE
+    synsets = F.transform(
+        F.sequence(F.lit(0), F.lit(n_synsets - 1)),
+        lambda g: F.array_sort(F.slice(labs, g * SYNSET_SIZE + 1, SYNSET_SIZE)),
+    )
+    qa = labels.select("vec_id", F.array(F.col("label")).alias("gold"))
+    return ranked.join(qa, "vec_id").select(
+        "vec_id", "gold", synsets.alias("candidates")
+    )
+
+
+def _hit_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = candidate_relation(spark, sf_dir)
+    g, c = F.col("gold"), F.col("candidates")
+    return cand.select(
+        "vec_id",
+        hit_basic(g, c).alias("hit_basic"),
+        hit_strict(g, c).alias("hit_strict"),
+        hit_relaxed(g, c).alias("hit_relaxed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# metric queries
+# ---------------------------------------------------------------------------
+
+def recall_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k per eval mode (basic / strict / relaxed), k = 1..MAX_K."""
+    hits = _hit_relation(spark, sf_dir)
+    ks = spark.range(1, MAX_K + 1).select(F.col("id").cast("int").alias("k"))
+    per_mode = [
+        hits.select(
+            F.lit(mode).alias("mode"), F.col(f"hit_{mode}").alias("hit")
+        )
+        for mode in ("basic", "strict", "relaxed")
+    ]
+    stacked = per_mode[0].unionByName(per_mode[1]).unionByName(per_mode[2])
+    return (
+        stacked.crossJoin(ks)
+        .groupBy("mode", "k")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("hit") < F.col("k"), 1.0).otherwise(0.0)), 6
+            ).alias("recall_at_k"),
+            F.count("*").alias("n_queries"),
+        )
+        .orderBy("mode", "k")
+    )
+
+
+def map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@k (basic mode), k = 1..MAX_K: mean of 1/(hit+1) when hit < k
+    else 0 (reference evaluate.py:323-351)."""
+    hits = _hit_relation(spark, sf_dir)
+    ks = spark.range(1, MAX_K + 1).select(F.col("id").cast("int").alias("k"))
+    ap = F.when(
+        F.col("hit_basic") <= F.col("k") - 1, 1.0 / (F.col("hit_basic") + 1)
+    ).otherwise(0.0)
+    return (
+        hits.crossJoin(ks)
+        .groupBy("k")
+        .agg(
+            F.round(F.avg(ap), 6).alias("map_at_k"),
+            F.count("*").alias("n_queries"),
+        )
+        .orderBy("k")
+    )
+
+
+def precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both precision@k variants (basic mode), k = 1..MAX_K:
+    ``precision_dk`` = mean(hit <= k-1) (evaluate.py:288-302);
+    ``precision`` = Σ 1/k over hits<k, / n (evaluate.py:305-320)."""
+    hits = _hit_relation(spark, sf_dir)
+    ks = spark.range(1, MAX_K + 1).select(F.col("id").cast("int").alias("k"))
+    within = F.when(F.col("hit_basic") <= F.col("k") - 1, 1.0).otherwise(0.0)
+    return (
+        hits.crossJoin(ks)
+        .groupBy("k")
+        .agg(
+            F.round(F.avg(within), 6).alias("precision_dk"),
+            F.round(F.sum(within / F.col("k")) / F.count("*"), 6).alias(
+                "precision"
+            ),
+            F.count("*").alias("n_queries"),
+        )
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — the same math relationally (unnest + window dedup)
+# ---------------------------------------------------------------------------
+
+_HITS_CTE = f"""
+e AS (
+  SELECT vec_id, CAST(label AS VARCHAR) AS label,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+nn AS (
+  SELECT a.vec_id, a.label AS q_label, b.label AS n_label,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))) DESC,
+                    b.vec_id) AS rank
+  FROM e a, e b
+  WHERE a.vec_id <> b.vec_id
+  QUALIFY rank <= {N_NEIGHBORS}
+),
+ss AS (  -- synset g = sorted labels at ranks 2g+1..2g+2
+  -- floor(): DuckDB '/' is float division and CAST rounds half away,
+  -- while Spark's cast truncates — floor makes both integer-divide
+  SELECT vec_id, q_label,
+         CAST(floor((rank - 1) / {SYNSET_SIZE}) AS INT) AS g,
+         list_sort(list(n_label)) AS labs
+  FROM nn
+  GROUP BY vec_id, q_label, CAST(floor((rank - 1) / {SYNSET_SIZE}) AS INT)
+),
+fl AS (  -- flatten synsets in (g, within-set) order
+  SELECT vec_id, q_label,
+         g * {SYNSET_SIZE} + i - 1 AS pos,
+         labs[i] AS lab
+  FROM (SELECT vec_id, q_label, g, labs,
+               unnest(labs) AS _z,
+               unnest(generate_series(1, len(labs))) AS i
+        FROM ss)
+),
+dd AS (  -- first-occurrence dedup then re-rank (list_flatten semantics)
+  SELECT vec_id, q_label, lab,
+         row_number() OVER (PARTITION BY vec_id ORDER BY min(pos)) - 1 AS idx
+  FROM fl
+  GROUP BY vec_id, q_label, lab
+),
+hb AS (
+  SELECT vec_id,
+         coalesce(min(CASE WHEN lab = q_label THEN idx END),
+                  {MISS_SENTINEL}) AS hit_basic
+  FROM dd GROUP BY vec_id
+),
+hs AS (
+  SELECT vec_id,
+         coalesce(min(CASE WHEN len(list_filter(labs, y -> y <> q_label)) = 0
+                           THEN g END), {MISS_SENTINEL}) AS hit_strict,
+         coalesce(min(CASE WHEN list_contains(labs, q_label)
+                           THEN g END), {MISS_SENTINEL}) AS hit_relaxed
+  FROM ss GROUP BY vec_id
+),
+hits AS (
+  SELECT vec_id, hit_basic, hit_strict, hit_relaxed
+  FROM hb JOIN hs USING (vec_id)
+)
+"""
+
+RECALL_MODES_SQL = f"""
+WITH {_HITS_CTE},
+stacked AS (
+  SELECT 'basic' AS mode, hit_basic AS hit FROM hits
+  UNION ALL SELECT 'strict', hit_strict FROM hits
+  UNION ALL SELECT 'relaxed', hit_relaxed FROM hits
+)
+SELECT mode, CAST(k AS INT) AS k,
+       round(avg(CASE WHEN hit < k THEN 1.0 ELSE 0.0 END), 6) AS recall_at_k,
+       count(*) AS n_queries
+FROM stacked, range(1, {MAX_K + 1}) r(k)
+GROUP BY mode, k
+ORDER BY mode, k
+"""
+
+MAP_AT_K_SQL = f"""
+WITH {_HITS_CTE}
+SELECT CAST(k AS INT) AS k,
+       round(avg(CASE WHEN hit_basic <= k - 1 THEN 1.0 / (hit_basic + 1)
+                      ELSE 0.0 END), 6) AS map_at_k,
+       count(*) AS n_queries
+FROM hits, range(1, {MAX_K + 1}) r(k)
+GROUP BY k
+ORDER BY k
+"""
+
+PRECISION_AT_K_SQL = f"""
+WITH {_HITS_CTE}
+SELECT CAST(k AS INT) AS k,
+       round(avg(CASE WHEN hit_basic <= k - 1 THEN 1.0 ELSE 0.0 END), 6)
+         AS precision_dk,
+       round(sum(CASE WHEN hit_basic <= k - 1 THEN 1.0 / k ELSE 0.0 END)
+             / count(*), 6) AS precision,
+       count(*) AS n_queries
+FROM hits, range(1, {MAX_K + 1}) r(k)
+GROUP BY k
+ORDER BY k
+"""
