@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from biomedical_entity_linking_spark.operators import dedup as D
 from biomedical_entity_linking_spark.operators import evaluation as EV
+from biomedical_entity_linking_spark.operators import mentions as MN
 from biomedical_entity_linking_spark.operators import metrics as MT
 from biomedical_entity_linking_spark.operators import similarity as SIM
 from biomedical_entity_linking_spark.operators import text_analysis as TA
@@ -404,8 +405,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_modes": MT.recall_modes,
         "map_at_k": MT.map_at_k,
         "precision_at_k": MT.precision_at_k,
+        "failure_attribution": MT.failure_attribution,
+        "chi_square_flags": MT.chi_square_flags,
         "content_tokens": EV.content_tokens,
         "props_value_stats": EV.props_value_stats,
+        # mention-surface operators
+        "mention_spans": MN.mention_spans,
+        "offsets_roundtrip": MN.offsets_roundtrip,
+        "source_norm_stats": MN.source_norm_stats,
         # relational coverage
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
@@ -437,8 +444,13 @@ def oracle_sql() -> dict[str, str]:
         "recall_modes": MT.RECALL_MODES_SQL,
         "map_at_k": MT.MAP_AT_K_SQL,
         "precision_at_k": MT.PRECISION_AT_K_SQL,
+        "failure_attribution": MT.FAILURE_ATTRIBUTION_SQL,
+        "chi_square_flags": MT.CHI_SQUARE_FLAGS_SQL,
         "content_tokens": EV.CONTENT_TOKENS_SQL,
         "props_value_stats": EV.PROPS_VALUE_STATS_SQL,
+        "mention_spans": MN.MENTION_SPANS_SQL,
+        "offsets_roundtrip": MN.OFFSETS_ROUNDTRIP_SQL,
+        "source_norm_stats": MN.SOURCE_NORM_STATS_SQL,
         "pricing_summary": Q_PRICING_SUMMARY_SQL,
         "top_revenue_orders": Q_TOP_REVENUE_ORDERS_SQL,
         "first_ship_per_supplier": Q_FIRST_SHIP_SQL,

@@ -219,6 +219,98 @@ def precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_ATTR = 3  # the k cutoff the reference's detailed analysis uses
+
+
+def _typed_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hit relation + a categorical ``type`` column (label mod 3 — the
+    synthetic analog of the reference's entity types)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    types = emb.select(
+        "vec_id",
+        F.concat(F.lit("t"), (F.col("label") % 3).cast("string")).alias("type"),
+    )
+    return _hit_relation(spark, sf_dir).join(types, "vec_id")
+
+
+def failure_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CG-vs-NED failure attribution per type (reference
+    ``evaluate.py:736-777``): miss_CG = hit > k (candidate generation never
+    surfaced gold); miss_NED = hit <= k and hit != 0 (gold retrieved but
+    not ranked first); success = hit == 0; hit_k = hit < k; plus
+    accuracy_per_type and recall_k_per_type."""
+    hits = _typed_hits(spark, sf_dir)
+    h = F.col("hit_basic")
+    return (
+        hits.groupBy("type")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.sum(F.when(h > K_ATTR, 1).otherwise(0)).alias("n_miss_cg"),
+            F.sum(F.when((h <= K_ATTR) & (h != 0), 1).otherwise(0)).alias(
+                "n_miss_ned"
+            ),
+            F.sum(F.when(h == 0, 1).otherwise(0)).alias("n_success"),
+            F.sum(F.when(h < K_ATTR, 1).otherwise(0)).alias("n_hit_k"),
+        )
+        .select(
+            "type",
+            "n_mentions",
+            "n_miss_cg",
+            "n_miss_ned",
+            "n_success",
+            "n_hit_k",
+            F.round(F.col("n_success") / F.col("n_mentions"), 6).alias(
+                "accuracy"
+            ),
+            F.round(F.col("n_hit_k") / F.col("n_mentions"), 6).alias(
+                "recall_k"
+            ),
+        )
+        .orderBy("type")
+    )
+
+
+def chi_square_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: Pearson chi-square statistics for the type × CG and type × NED
+    contingency tables (reference ``evaluate.py:818-851`` — crosstab +
+    ``chi2_contingency``). The statistic and dof are pure relational math:
+    expected cell = row_total·col_total/n; chi2 = Σ (o−e)²/e over the full
+    type × flag grid including zero observed cells."""
+    import numpy as np
+
+    hits = _typed_hits(spark, sf_dir)
+    flagged = hits.select(
+        "type",
+        F.when(F.col("hit_basic") != MISS_SENTINEL, 1).otherwise(0).alias("cg"),
+        F.when(F.col("hit_basic") == 0, 1).otherwise(0).alias("ned"),
+    )
+    # one distributed agg → tiny (type, cg, ned-partitioned) counts to the
+    # driver; chi2 math in numpy on the collected crosstab (SURVEY A9)
+    rows = (
+        flagged.groupBy("type", "cg", "ned").agg(F.count("*").alias("o")).collect()
+    )
+
+    def chi2_stat(flag_key: str):
+        types = sorted({r["type"] for r in rows})
+        flags = sorted({r[flag_key] for r in rows})
+        obs = np.zeros((len(types), len(flags)), dtype=np.float64)
+        for r in rows:
+            obs[types.index(r["type"]), flags.index(r[flag_key])] += r["o"]
+        n = obs.sum()
+        expected = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / n
+        stat = float(((obs - expected) ** 2 / expected).sum())
+        dof = (len(types) - 1) * (len(flags) - 1)
+        return stat, dof
+
+    chi_cg, dof_cg = chi2_stat("cg")
+    chi_ned, dof_ned = chi2_stat("ned")
+    n = int(sum(r["o"] for r in rows))
+    return spark.createDataFrame(
+        [(round(chi_cg, 6), dof_cg, round(chi_ned, 6), dof_ned, n)],
+        "chi2_cg double, dof_cg int, chi2_ned double, dof_ned int, n long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles — the same math relationally (unnest + window dedup)
 # ---------------------------------------------------------------------------
@@ -309,6 +401,90 @@ SELECT CAST(k AS INT) AS k,
 FROM hits, range(1, {MAX_K + 1}) r(k)
 GROUP BY k
 ORDER BY k
+"""
+
+_TYPED_HITS_CTE = f"""
+{_HITS_CTE},
+typed AS (
+  SELECT h.vec_id, h.hit_basic,
+         't' || CAST(emb.label % 3 AS VARCHAR) AS type
+  FROM hits h JOIN embeddings emb ON emb.vec_id = h.vec_id
+)
+"""
+
+FAILURE_ATTRIBUTION_SQL = f"""
+WITH {_TYPED_HITS_CTE}
+SELECT type,
+       count(*) AS n_mentions,
+       CAST(sum(CASE WHEN hit_basic > {K_ATTR} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_miss_cg,
+       CAST(sum(CASE WHEN hit_basic <= {K_ATTR} AND hit_basic <> 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_miss_ned,
+       CAST(sum(CASE WHEN hit_basic = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_success,
+       CAST(sum(CASE WHEN hit_basic < {K_ATTR} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit_k,
+       round(sum(CASE WHEN hit_basic = 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS accuracy,
+       round(sum(CASE WHEN hit_basic < {K_ATTR} THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS recall_k
+FROM typed
+GROUP BY type
+ORDER BY type
+"""
+
+CHI_SQUARE_FLAGS_SQL = f"""
+WITH {_TYPED_HITS_CTE},
+flagged AS (
+  SELECT type,
+         CASE WHEN hit_basic <> {MISS_SENTINEL} THEN 1 ELSE 0 END AS cg,
+         CASE WHEN hit_basic = 0 THEN 1 ELSE 0 END AS ned
+  FROM typed
+),
+grid_cg AS (
+  SELECT t.type, f.cg FROM (SELECT DISTINCT type FROM flagged) t,
+                           (SELECT DISTINCT cg FROM flagged) f
+),
+obs_cg AS (
+  SELECT g.type, g.cg, coalesce(o.o, 0) AS o
+  FROM grid_cg g
+  LEFT JOIN (SELECT type, cg, count(*) AS o FROM flagged GROUP BY 1, 2) o
+    USING (type, cg)
+),
+chi_cg AS (
+  SELECT round(sum(pow(o - rt * ct / n, 2) / (rt * ct / n)), 6) AS chi2,
+         CAST((count(DISTINCT type) - 1) * (count(DISTINCT cg) - 1) AS INT)
+           AS dof
+  FROM (SELECT type, cg, o,
+               sum(o) OVER (PARTITION BY type) AS rt,
+               sum(o) OVER (PARTITION BY cg) AS ct,
+               sum(o) OVER () AS n
+        FROM obs_cg)
+),
+grid_ned AS (
+  SELECT t.type, f.ned FROM (SELECT DISTINCT type FROM flagged) t,
+                            (SELECT DISTINCT ned FROM flagged) f
+),
+obs_ned AS (
+  SELECT g.type, g.ned, coalesce(o.o, 0) AS o
+  FROM grid_ned g
+  LEFT JOIN (SELECT type, ned, count(*) AS o FROM flagged GROUP BY 1, 2) o
+    USING (type, ned)
+),
+chi_ned AS (
+  SELECT round(sum(pow(o - rt * ct / n, 2) / (rt * ct / n)), 6) AS chi2,
+         CAST((count(DISTINCT type) - 1) * (count(DISTINCT ned) - 1) AS INT)
+           AS dof
+  FROM (SELECT type, ned, o,
+               sum(o) OVER (PARTITION BY type) AS rt,
+               sum(o) OVER (PARTITION BY ned) AS ct,
+               sum(o) OVER () AS n
+        FROM obs_ned)
+)
+SELECT chi_cg.chi2 AS chi2_cg, chi_cg.dof AS dof_cg,
+       chi_ned.chi2 AS chi2_ned, chi_ned.dof AS dof_ned,
+       (SELECT count(*) FROM flagged) AS n
+FROM chi_cg, chi_ned
 """
 
 PRECISION_AT_K_SQL = f"""

@@ -29,7 +29,7 @@ from hashlib import blake2b
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .extract import run_extract
+from .extract import apply_norm_rules, run_extract
 from .operators.blocking import blocking_keys, generate_candidate_pairs
 from .operators.connected_components import attach_singletons, connected_components
 from .operators.scoring import (
@@ -53,6 +53,10 @@ class PipelineConfig:
     weights: dict = field(
         default_factory=lambda: {"jw": 0.35, "tslev": 0.30, "cosine": 0.35}
     )
+    # content fingerprint of the norm-rules table (set by run_pipeline when
+    # rules are passed); part of every stage fingerprint so new rules
+    # invalidate the checkpoints they affect
+    norm_rules_fp: int | None = None
 
     def fingerprint(self, stage: str) -> str:
         payload = json.dumps(
@@ -140,8 +144,23 @@ def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
     cfg: PipelineConfig,
+    norm_rules: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
-    """Full pipeline. Returns the stage DataFrames (all checkpointed)."""
+    """Full pipeline. Returns the stage DataFrames (all checkpointed).
+
+    ``norm_rules``: optional (domain, token, replacement) dictionary — the
+    abbreviation-map analog the reference applies inside its main flow
+    (``bigbio_utils.py:322-341``). When given, an extra checkpointed
+    ``normalize`` stage rewrites ``norm_title`` before blocking."""
+    if norm_rules is not None:
+        cfg.norm_rules_fp = int(
+            norm_rules.agg(
+                F.bit_xor(
+                    F.xxhash64("domain", "token", "replacement")
+                ).alias("fp")
+            ).first()["fp"]
+            or 0
+        )
     runner = StageRunner(spark, cfg)
 
     records = runner.run_stage(
@@ -150,6 +169,26 @@ def run_pipeline(
             "url", "warc_ts", "extracted_text", "title", "norm_domain", "norm_title"
         ),
     )
+
+    if norm_rules is not None:
+        norm_meta: dict = {}
+
+        def _normalize() -> DataFrame:
+            out = apply_norm_rules(
+                records.withColumn("_pre", F.col("norm_title")), norm_rules
+            )
+            norm_meta["titles_rewritten"] = out.filter(
+                F.col("norm_title") != F.col("_pre")
+            ).count()
+            return out.drop("_pre")
+
+        records = runner.run_stage(
+            "normalize",
+            _normalize,
+            extra_fn=lambda: {
+                "titles_rewritten": norm_meta.get("titles_rewritten")
+            },
+        )
 
     stage_caches: list = []  # persisted frames scoped to one stage
 

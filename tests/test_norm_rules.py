@@ -52,3 +52,66 @@ def test_token_order_preserved(spark):
     )
     out = {r["url"]: r["norm_title"] for r in apply_norm_rules(recs, rules).collect()}
     assert out["https://www.ex.com/1"] == "intl gadget co"
+
+
+def test_pipeline_normalize_stage_flows_into_blocking(spark, tmp_path):
+    """Rules passed to run_pipeline rewrite norm_title in a checkpointed
+    'normalize' stage, with a titles_rewritten counter, and the rewritten
+    titles are what blocking sees (the two ex.com variants co-cluster only
+    after normalization unifies their titles)."""
+    from biomedical_entity_linking_spark.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    html = lambda t: f"<html><head><title>{t}</title></head><body>b</body></html>".encode()
+    rows = [
+        ("https://www.ex.com/a", None, html("Intl Widget Co Annual Report"),
+         "Intl Widget Co Annual Report\nb", "eng"),
+        ("https://mirror.ex.com/a", None, html("International Widget Company Annual Report"),
+         "International Widget Company Annual Report\nb", "eng"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    rules = spark.createDataFrame(
+        [("ex.com", "intl", "international"), ("ex.com", "co", "company"),
+         ("mirror.ex.com", "x", "x")],
+        "domain string, token string, replacement string",
+    )
+    out = run_pipeline(
+        spark, pages, PipelineConfig(work_dir=str(tmp_path / "wd")), norm_rules=rules
+    )
+    titles = {r["url"]: r["norm_title"] for r in out["records"].collect()}
+    assert titles["https://www.ex.com/a"] == "international widget company annual report"
+    assert out["counters"]["normalize"]["titles_rewritten"] == 1
+    # blocking consumed the rewritten title: identical titles → co-cluster
+    comps = {r["url"]: r["component"] for r in out["clusters"].collect()}
+    assert comps["https://www.ex.com/a"] == comps["https://mirror.ex.com/a"]
+
+
+def test_pipeline_rules_change_invalidates_checkpoint(spark, tmp_path):
+    from biomedical_entity_linking_spark.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    html = lambda t: f"<html><head><title>{t}</title></head><body>b</body></html>".encode()
+    pages = spark.createDataFrame(
+        [("https://ex.com/a", None, html("intl news"), "intl news\nb", "eng")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    wd = str(tmp_path / "wd2")
+    r1 = spark.createDataFrame(
+        [("ex.com", "intl", "international")],
+        "domain string, token string, replacement string",
+    )
+    out1 = run_pipeline(spark, pages, PipelineConfig(work_dir=wd), norm_rules=r1)
+    assert out1["records"].first()["norm_title"] == "international news"
+    # different rules → stage fingerprint changes → recompute, not stale read
+    r2 = spark.createDataFrame(
+        [("ex.com", "intl", "global")],
+        "domain string, token string, replacement string",
+    )
+    out2 = run_pipeline(spark, pages, PipelineConfig(work_dir=wd), norm_rules=r2)
+    assert out2["records"].first()["norm_title"] == "global news"
