@@ -103,6 +103,85 @@ def read_jsonl_ontology(spark: SparkSession, path: str) -> DataFrame:
     return df.select("cui", "name", "types", "aliases", "definition", "equivalent_cuis")
 
 
+def read_obo(
+    spark: SparkSession,
+    path: str,
+    prefix_to_keep: str | None = None,
+    entity_type: str | None = None,
+) -> DataFrame:
+    """S6: OBO-format ontology → ENTITY_SCHEMA DataFrame.
+
+    Reference: ``bioel/bioel/ontology.py:82-167`` (``obonet.read_obo`` +
+    per-node extraction). Semantics preserved: name is the first synonym
+    when the ``name`` tag is absent; ``alt_id`` (prefix-filtered) becomes
+    ``equivalent_cuis``; entries with no name/aliases are skipped; obsolete
+    terms are kept (obonet keeps them too); duplicate CUIs keep the first
+    occurrence.
+
+    Spark-first shape: the file is read whole (OBO ontologies are single
+    small-GB files), ``[Term]`` stanzas explode into one row each, and all
+    tag extraction is Catalyst ``regexp_extract(_all)`` — parallelism comes
+    from the post-explode repartition, no Python parsing."""
+    raw = spark.read.text(path, wholetext=True)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    stanzas = (
+        raw.select(F.explode(F.split(F.col("value"), r"\n\[")).alias("block"))
+        .filter(F.col("block").startswith("Term]"))
+        .repartition(n_parts)
+    )
+    b = F.col("block")
+    cui = F.regexp_extract(b, r"(?m)^id: (.+?)\s*$", 1)
+    name = F.regexp_extract(b, r"(?m)^name: (.+?)\s*$", 1)
+    synonyms = F.regexp_extract_all(b, F.lit(r'(?m)^synonym: "([^"]*)"'), 1)
+    alt_ids = F.regexp_extract_all(b, F.lit(r"(?m)^alt_id: (.+?)\s*$"), 1)
+    definition = F.regexp_extract(b, r'(?m)^def: "([^"]*)"', 1)
+    df = stanzas.select(
+        cui.alias("cui"),
+        F.when(F.length(name) > 0, name).alias("name_tag"),
+        synonyms.alias("synonyms"),
+        alt_ids.alias("alt_ids"),
+        F.when(F.length(definition) > 0, definition).alias("definition"),
+    )
+    if prefix_to_keep is not None:
+        df = df.filter(F.col("cui").startswith(prefix_to_keep))
+        df = df.withColumn(
+            "alt_ids",
+            F.filter(F.col("alt_ids"), lambda x: x.startswith(prefix_to_keep)),
+        )
+    # name = name tag, else first synonym; aliases = the rest; skip empty
+    all_syn = F.when(
+        F.col("name_tag").isNotNull(),
+        F.concat(F.array(F.col("name_tag")), F.col("synonyms")),
+    ).otherwise(F.col("synonyms"))
+    df = (
+        df.withColumn("all_syn", all_syn)
+        .filter(F.size("all_syn") > 0)
+        .select(
+            "cui",
+            F.element_at("all_syn", 1).alias("name"),
+            F.lit(
+                [entity_type] if entity_type else []
+            ).cast("array<string>").alias("types"),
+            F.slice(
+                "all_syn", 2, F.greatest(F.size("all_syn") - 1, F.lit(0))
+            ).alias("aliases"),
+            "definition",
+            F.when(F.size("alt_ids") > 0, F.col("alt_ids")).alias(
+                "equivalent_cuis"
+            ),
+        )
+    )
+    # duplicate CUIs: keep first occurrence (reference warns + skips)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cui").orderBy(F.monotonically_increasing_id())
+    return (
+        df.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+
+
 def alias_inverted_index(entities: DataFrame) -> DataFrame:
     """alias → collect_set(cui): the reference's alias→CUIs dictionary
     (1:N canonicalization input for J5)."""
