@@ -8,17 +8,31 @@ web graft's north rule names Jaro-Winkler + token-set Levenshtein as the
 pairwise string metrics; both are implemented here as batch kernels consumed
 from a single Arrow ``pandas_udf`` (see ``operators/scoring.py``).
 
-The inner per-pair loops are plain Python over already-materialized numpy/
-pandas batches — this is the Arrow-vectorized slow path (the reference's
-analog is its C++/Cython kernels). At production scale these two kernels are
-the only candidates for a native library swap; everything around them is pure
-DataFrame algebra.
+Execution shape (no per-row Python in the hot path):
+
+1. equal-string pairs short-circuit to 1.0 (duplicate titles are the common
+   case in a web corpus);
+2. the rest are canonical-ordered and uniquified (the vectorized form of the
+   old memo table — each distinct pair is scored once per batch);
+3. unique pairs are encoded as padded uint32 codepoint matrices and scored
+   by numpy DP kernels vectorized ACROSS THE PAIR AXIS: the Levenshtein
+   row-recurrence runs its sequential prefix-min as
+   ``np.minimum.accumulate``; the Jaro greedy window matching loops only
+   over character positions, with the per-pair window scan, flag updates,
+   and transposition count all as array ops.
+
+The scalar reference implementations are kept below for the property tests
+(and as documentation of the exact semantics).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+
+# ---------------------------------------------------------------------------
+# scalar reference implementations (test oracles)
+# ---------------------------------------------------------------------------
 
 
 def jaro(s1: str, s2: str) -> float:
@@ -45,7 +59,6 @@ def jaro(s1: str, s2: str) -> float:
                 break
     if matches == 0:
         return 0.0
-    # transpositions: compare matched chars in order
     t = 0
     j = 0
     for i in range(len1):
@@ -113,44 +126,217 @@ def token_set_levenshtein_ratio(s1: str, s2: str) -> float:
     return 1.0 - levenshtein(t1, t2) / m
 
 
-def jaro_winkler_batch(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Batch kernel: elementwise Jaro-Winkler over two string Series.
-    Equal strings short-circuit (duplicate titles are the common case in a
-    web corpus) and repeated pairs within a batch hit a memo table."""
+# ---------------------------------------------------------------------------
+# vectorized kernels
+# ---------------------------------------------------------------------------
+
+
+def _encode(strs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """object array of str → (padded uint32 codepoint matrix, lengths)."""
+    n = len(strs)
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n)
+    L = int(lens.max()) if n else 0
+    # pad with an impossible codepoint — 0 would collide with real U+0000
+    M = np.full((n, max(L, 1)), 0xFFFFFFFF, dtype=np.uint32)
+    for i, s in enumerate(strs):  # one pass over UNIQUE strings only
+        if s:
+            M[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            )
+    return M, lens
+
+
+def _lev_core(
+    A: np.ndarray, la: np.ndarray, B: np.ndarray, lb: np.ndarray
+) -> np.ndarray:
+    """Levenshtein distances for N pairs at once. The inner-row dependency
+    cur[j] = min(m[j-1], cur[j-1]+1) is a prefix-min in disguise:
+    cur[j] = min_{k<=j}(h[k]) + j with h[0]=i, h[k]=m[k-1]-k — one
+    ``np.minimum.accumulate`` per DP row, vectorized across pairs."""
+    N, _ = A.shape
+    L1 = int(la.max()) if N else 0
+    L2 = B.shape[1]
+    ar = np.arange(L2 + 1, dtype=np.int32)
+    prev = np.tile(ar, (N, 1))
+    res = lb.astype(np.int32).copy()  # correct for pairs with la == 0
+    rows = np.arange(N)
+    for i in range(1, L1 + 1):
+        ci = A[:, i - 1][:, None]
+        m = np.minimum(prev[:, :-1] + (B != ci), prev[:, 1:] + 1)
+        h = np.concatenate(
+            [np.full((N, 1), i, dtype=np.int32), (m - ar[1:][None, :]).astype(np.int32)],
+            axis=1,
+        )
+        cur = np.minimum.accumulate(h, axis=1) + ar[None, :]
+        done = la == i
+        if done.any():
+            res[done] = cur[rows[done], lb[done]]
+        prev = cur
+    return res
+
+
+def _jaro_core(
+    A: np.ndarray, la: np.ndarray, B: np.ndarray, lb: np.ndarray
+) -> np.ndarray:
+    """Jaro similarity for N pairs at once: the greedy window matching
+    loops over s1 character positions; window masking, first-available-j
+    selection, flag updates, and the transposition count are array ops."""
+    N, L1m = A.shape
+    L2 = B.shape[1]
+    L1 = int(la.max()) if N else 0
+    w = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    flags2 = np.zeros((N, L2), dtype=bool)
+    match_j = np.full((N, L1m), -1, dtype=np.int64)
+    jidx = np.arange(L2)[None, :]
+    rows = np.arange(N)
+    for i in range(L1):
+        active = i < la
+        lo = (i - w)[:, None]
+        hi = np.minimum(lb, i + w + 1)[:, None]
+        cand = (
+            (B == A[:, i][:, None])
+            & ~flags2
+            & (jidx >= lo)
+            & (jidx < hi)
+            & active[:, None]
+        )
+        hit = cand.any(axis=1)
+        j_star = cand.argmax(axis=1)  # first True per row
+        match_j[rows[hit], i] = j_star[hit]
+        flags2[rows[hit], j_star[hit]] = True
+    mask = match_j >= 0
+    m = mask.sum(axis=1)
+    # matched s1 chars compacted left in i order
+    order = np.argsort(~mask, axis=1, kind="stable")
+    s1c = np.take_along_axis(A, order, axis=1)
+    # matched s2 chars in j order
+    js = np.where(mask, match_j, np.iinfo(np.int64).max)
+    js_sorted = np.sort(js, axis=1)
+    s2c = np.take_along_axis(
+        B, np.clip(js_sorted, 0, L2 - 1), axis=1
+    )
+    posmask = np.arange(L1m)[None, :] < m[:, None]
+    t = (((s1c != s2c) & posmask).sum(axis=1) // 2).astype(np.float64)
+    mf = m.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = (
+            mf / np.maximum(la, 1)
+            + mf / np.maximum(lb, 1)
+            + (mf - t) / np.maximum(mf, 1)
+        ) / 3.0
+    sim[m == 0] = 0.0
+    sim[(la == 0) | (lb == 0)] = 0.0
+    return sim
+
+
+def _jaro_winkler_core(
+    A: np.ndarray, la: np.ndarray, B: np.ndarray, lb: np.ndarray,
+    prefix_weight: float = 0.1,
+) -> np.ndarray:
+    j = _jaro_core(A, la, B, lb)
+    k = min(4, A.shape[1], B.shape[1])
+    eq = A[:, :k] == B[:, :k]
+    # positions beyond either string's length never count as prefix
+    # (padding is 0 on both sides, but only within-length matches are real)
+    valid = (np.arange(k)[None, :] < la[:, None]) & (
+        np.arange(k)[None, :] < lb[:, None]
+    )
+    prefix = np.cumprod(eq & valid, axis=1).sum(axis=1)
+    boost = j > 0.7
+    j[boost] += prefix[boost] * prefix_weight * (1.0 - j[boost])
+    return j
+
+
+def _unique_pairs(
+    a: pd.Series, b: pd.Series
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Canonical-order + uniquify (the vectorized memo): returns
+    (codes, uniq_lo, uniq_hi, equal_mask)."""
     av = a.fillna("").to_numpy(dtype=object)
     bv = b.fillna("").to_numpy(dtype=object)
-    out = np.empty(len(av), dtype=np.float64)
-    memo: dict[tuple[str, str], float] = {}
+    equal = av == bv
+    # plain dict uniquifier: pandas factorize/MultiIndex hash C-strings and
+    # truncate at NUL chars, silently merging distinct keys — a Python dict
+    # is NUL-safe and costs one hash per row (the DP kernels dominate)
+    seen: dict[tuple[str, str], int] = {}
+    codes = np.empty(len(av), dtype=np.int64)
+    ulo_l: list[str] = []
+    uhi_l: list[str] = []
     for i in range(len(av)):
         x, y = av[i], bv[i]
-        if x == y:
-            out[i] = 1.0
-            continue
-        key = (x, y) if x < y else (y, x)
-        v = memo.get(key)
-        if v is None:
-            v = jaro_winkler(x, y)
-            memo[key] = v
-        out[i] = v
+        key = (x, y) if x <= y else (y, x)
+        c = seen.get(key)
+        if c is None:
+            c = len(ulo_l)
+            seen[key] = c
+            ulo_l.append(key[0])
+            uhi_l.append(key[1])
+        codes[i] = c
+    ulo = np.array(ulo_l, dtype=object) if ulo_l else np.array([], dtype=object)
+    uhi = np.array(uhi_l, dtype=object) if uhi_l else np.array([], dtype=object)
+    return codes, ulo, uhi, equal
+
+
+_CHUNK = 8192
+
+
+def _chunked(lo: np.ndarray, hi: np.ndarray, core) -> np.ndarray:
+    """Run a pair kernel over length-sorted chunks so each chunk's DP
+    matrices pad only to the chunk-local max length (long-tail titles
+    would otherwise widen every row)."""
+    mx = np.fromiter(
+        (max(len(x), len(y)) for x, y in zip(lo, hi)),
+        dtype=np.int64,
+        count=len(lo),
+    )
+    order = np.argsort(mx, kind="stable")
+    out = np.empty(len(lo), dtype=np.float64)
+    for s in range(0, len(order), _CHUNK):
+        idx = order[s : s + _CHUNK]
+        A, la = _encode(lo[idx])
+        B, lb = _encode(hi[idx])
+        out[idx] = core(A, la, B, lb)
+    return out
+
+
+def jaro_winkler_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Batch kernel: elementwise Jaro-Winkler, vectorized over unique
+    non-equal pairs (equal strings short-circuit to 1.0)."""
+    codes, ulo, uhi, equal = _unique_pairs(a, b)
+    if len(ulo):
+        uvals = _chunked(ulo, uhi, _jaro_winkler_core)
+        out = uvals[codes]
+    else:
+        out = np.zeros(len(codes), dtype=np.float64)
+    out[equal] = 1.0
     return pd.Series(out)
 
 
 def token_set_lev_batch(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Batch kernel: elementwise token-set Levenshtein ratio (memoized,
-    equal-string short-circuit)."""
-    av = a.fillna("").to_numpy(dtype=object)
-    bv = b.fillna("").to_numpy(dtype=object)
-    out = np.empty(len(av), dtype=np.float64)
-    memo: dict[tuple[str, str], float] = {}
-    for i in range(len(av)):
-        x, y = av[i], bv[i]
-        if x == y:
-            out[i] = 1.0
-            continue
-        key = (x, y) if x < y else (y, x)
-        v = memo.get(key)
-        if v is None:
-            v = token_set_levenshtein_ratio(x, y)
-            memo[key] = v
-        out[i] = v
+    """Batch kernel: elementwise token-set Levenshtein ratio. Token-set
+    normalization runs once per unique string; the edit distance runs
+    vectorized over unique normalized pairs."""
+    codes, ulo, uhi, equal = _unique_pairs(a, b)
+    if len(ulo):
+        # normalize once per unique STRING (not per pair)
+        all_strs, inv = np.unique(
+            np.concatenate([ulo, uhi]), return_inverse=True
+        )
+        norm = np.array(
+            [" ".join(_token_set(s)) for s in all_strs], dtype=object
+        )
+        nlo = norm[inv[: len(ulo)]]
+        nhi = norm[inv[len(ulo):]]
+
+        def ratio_core(A, la, B, lb):
+            dist = _lev_core(A, la, B, lb).astype(np.float64)
+            mx = np.maximum(la, lb).astype(np.float64)
+            return np.where(mx > 0, 1.0 - dist / np.maximum(mx, 1.0), 1.0)
+
+        uvals = _chunked(nlo, nhi, ratio_core)
+        uvals = np.where(nlo == nhi, 1.0, uvals)
+        out = uvals[codes]
+    else:
+        out = np.zeros(len(codes), dtype=np.float64)
+    out[equal] = 1.0
     return pd.Series(out)

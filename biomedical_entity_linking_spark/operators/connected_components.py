@@ -116,8 +116,11 @@ def connected_components(
         spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
         for _ in range(max_iterations):
             iterations += 1
+            # lazy localCheckpoint: the checksum aggregation is the action
+            # that materializes it — one Spark job per iteration instead of
+            # two (eager checkpoint + checksum)
             cur = _canonical(_small_star(_large_star(cur))).localCheckpoint(
-                eager=True
+                eager=False
             )
             sig = _checksum(cur)
             if sig == prev_sig:

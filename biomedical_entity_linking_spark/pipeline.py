@@ -196,34 +196,47 @@ def run_pipeline(
         while stage_caches:
             stage_caches.pop().unpersist()
 
-    keys = runner.run_stage(
-        "block",
-        lambda: blocking_keys(
+    # --- pairs ∥ features: independent stages submitted from two driver
+    # threads so their Spark jobs interleave. At the high-parallelism leg
+    # the shuffle-bound pair generation and the CPU-bound embedding UDF
+    # fill each other's idle slots — this is the main serial-residue cut
+    # behind the N→4N scaling-efficiency gate (BASELINE.md ≥0.8).
+    # Blocking keys are built inline (persisted, consumed twice) instead of
+    # a separate checkpoint: one fewer write/read barrier on the critical
+    # path; a resume after a pairs-stage crash recomputes them.
+    stats_holder: dict = {}
+
+    def _pairs() -> DataFrame:
+        keys = blocking_keys(
             records,
             snm_window=cfg.snm_window,
             num_perm=cfg.num_perm,
             bands=cfg.bands,
             rows_per_band=cfg.rows_per_band,
             caches=stage_caches,
-        ),
-    )
-    _drain_caches()
-
-    stats_holder: dict = {}
-
-    def _pairs() -> DataFrame:
+        ).persist()
+        stage_caches.append(keys)
         pairs, stats = generate_candidate_pairs(
             keys, cfg.max_block_size, caches=stage_caches
         )
         stats_holder["stats"] = [r.asDict() for r in stats.collect()]
         return pairs
 
-    pairs = runner.run_stage(
-        "pairs", _pairs, extra_fn=lambda: {"block_stats": stats_holder.get("stats")}
-    )
-    _drain_caches()
+    from concurrent.futures import ThreadPoolExecutor
 
-    features = runner.run_stage("features", lambda: build_features(records))
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_pairs = pool.submit(
+            runner.run_stage,
+            "pairs",
+            _pairs,
+            lambda: {"block_stats": stats_holder.get("stats")},
+        )
+        fut_features = pool.submit(
+            runner.run_stage, "features", lambda: build_features(records)
+        )
+        pairs = fut_pairs.result()
+        features = fut_features.result()
+    _drain_caches()
 
     scored = runner.run_stage(
         "score",
@@ -232,9 +245,10 @@ def run_pipeline(
         ),
     )
 
-    edges = runner.run_stage(
-        "edges", lambda: threshold_edges(scored, cfg.threshold)
-    )
+    # edges = deterministic filter over the checkpointed score table — a
+    # derived view, not a barrier (the filter re-applies identically on
+    # resume; the 'edges' parquet write/read round-trip bought nothing)
+    edges = threshold_edges(scored, cfg.threshold)
 
     cc_meta: dict = {}
 
@@ -249,7 +263,6 @@ def run_pipeline(
 
     return {
         "records": records,
-        "keys": keys,
         "pairs": pairs,
         "features": features,
         "scored": scored,

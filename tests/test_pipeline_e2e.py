@@ -36,13 +36,12 @@ def test_pairwise_f1_gate(pipeline_run):
 
 def test_counters_present_and_consistent(pipeline_run):
     counters = pipeline_run["out"]["counters"]
-    for stage in ["extract", "block", "pairs", "features", "score", "edges", "clusters"]:
+    for stage in ["extract", "pairs", "features", "score", "clusters"]:
         assert stage in counters
         assert counters[stage]["rows"] >= 0
         assert sum(counters[stage]["per_partition_rows"].values()) == counters[stage]["rows"]
     # pairs scored == pairs generated (no silent truncation between stages)
     assert counters["score"]["rows"] == counters["pairs"]["rows"]
-    assert counters["edges"]["rows"] <= counters["score"]["rows"]
     # block stats carry skew accounting
     stats = counters["pairs"]["block_stats"]
     kinds = {s["key_kind"] for s in stats}
@@ -67,12 +66,12 @@ def test_resume_skips_recompute(pipeline_run):
     spark, cfg, pages = pipeline_run["spark"], pipeline_run["cfg"], pipeline_run["pages"]
     before = {
         s: os.path.getmtime(os.path.join(cfg.work_dir, s))
-        for s in ["extract", "pairs", "edges", "clusters"]
+        for s in ["extract", "pairs", "score", "clusters"]
     }
     out2 = run_pipeline(spark, pages, cfg)
     after = {
         s: os.path.getmtime(os.path.join(cfg.work_dir, s))
-        for s in ["extract", "pairs", "edges", "clusters"]
+        for s in ["extract", "pairs", "score", "clusters"]
     }
     assert before == after  # nothing rewritten
     assert out2["clusters"].count() == pipeline_run["out"]["clusters"].count()
@@ -81,11 +80,11 @@ def test_resume_skips_recompute(pipeline_run):
 def test_resume_recomputes_on_config_change(pipeline_run, tmp_path):
     """A changed fingerprint (threshold) invalidates downstream stages."""
     cfg = pipeline_run["cfg"]
-    manifest = os.path.join(cfg.work_dir, "edges._MANIFEST.json")
+    manifest = os.path.join(cfg.work_dir, "score._MANIFEST.json")
     with open(manifest) as f:
         fp = json.load(f)["fingerprint"]
     cfg2 = PipelineConfig(work_dir=cfg.work_dir, threshold=cfg.threshold + 0.01)
-    assert cfg2.fingerprint("edges") != fp
+    assert cfg2.fingerprint("score") != fp
 
 
 def test_viral_title_not_merged(pipeline_run):

@@ -18,11 +18,11 @@ def test_torn_write_recomputed(spark, tmp_path):
     edges_before = out1["edges"].count()
     clusters_before = out1["clusters"].count()
 
-    # simulate a crash after the edges table write but before its commit
+    # simulate a crash after the score table write but before its commit
     # marker: manifest gone, table replaced by garbage
-    os.remove(os.path.join(wd, "edges._MANIFEST.json"))
-    shutil.rmtree(os.path.join(wd, "edges"))
-    os.makedirs(os.path.join(wd, "edges"))
+    os.remove(os.path.join(wd, "score._MANIFEST.json"))
+    shutil.rmtree(os.path.join(wd, "score"))
+    os.makedirs(os.path.join(wd, "score"))
     # downstream stage (clusters) must also be invalidated for a true crash;
     # the runner keys on manifests, so drop it too
     os.remove(os.path.join(wd, "clusters._MANIFEST.json"))

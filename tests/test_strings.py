@@ -97,3 +97,25 @@ def test_batch_kernels_match_scalar():
         sb = b[i] if isinstance(b[i], str) else ""
         assert math.isclose(jw[i], jaro_winkler(sa, sb), abs_tol=1e-12)
         assert math.isclose(ts[i], token_set_levenshtein_ratio(sa, sb), abs_tol=1e-12)
+
+
+@given(
+    st.lists(
+        st.tuples(st.text(max_size=25), st.text(max_size=25)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_vectorized_kernels_match_scalar_property(pairs):
+    """The numpy-vectorized batch kernels are bit-compatible with the
+    scalar reference implementations on arbitrary unicode inputs."""
+    a = pd.Series([p[0] for p in pairs])
+    b = pd.Series([p[1] for p in pairs])
+    jw = jaro_winkler_batch(a, b)
+    ts = token_set_lev_batch(a, b)
+    for i, (x, y) in enumerate(pairs):
+        assert math.isclose(jw[i], jaro_winkler(x, y), abs_tol=1e-12), (x, y)
+        assert math.isclose(
+            ts[i], token_set_levenshtein_ratio(x, y), abs_tol=1e-12
+        ), (x, y)
