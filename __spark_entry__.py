@@ -331,6 +331,60 @@ ORDER BY l_orderkey
 """
 
 
+def q_dup_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 duplicate-symbol counts (reference: gene symbols with
+    value_counts > 1, ``extract_ncbi_gene.py:36-42``): first token of
+    p_name as the 'symbol', keep symbols appearing on >1 part."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    sym = F.element_at(F.split(F.col("p_name"), " "), 1)
+    return (
+        part.select(sym.alias("symbol"))
+        .groupBy("symbol")
+        .count()
+        .filter(F.col("count") > 1)
+        .select("symbol", F.col("count").alias("n_parts"))
+        .orderBy("symbol")
+    )
+
+
+Q_DUP_PART_NAMES_SQL = """
+SELECT symbol, count(*) AS n_parts
+FROM (SELECT string_split(p_name, ' ')[1] AS symbol FROM part)
+GROUP BY symbol
+HAVING count(*) > 1
+ORDER BY symbol
+"""
+
+
+def q_filtered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 compound boolean quality mask + F6 startswith filters
+    (reference: the Entrez gene quality filter — taxa ∈ set ∧ type ∉ set ∧
+    desc ≠ x ∧ ¬startswith, ``ontology.py:283-289``,
+    ``extract_ncbi_gene.py:20-33``)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return (
+        part.filter(
+            F.col("p_size").isin(1, 5, 9, 13, 17, 21)
+            & ~F.col("p_type").startswith("ECONOMY")
+            & (F.col("p_brand") != "Brand#23")
+            & F.col("p_name").startswith("s")
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+Q_FILTERED_PARTS_SQL = """
+SELECT p_partkey, p_brand, p_type, p_size, p_name
+FROM part
+WHERE p_size IN (1, 5, 9, 13, 17, 21)
+  AND NOT starts_with(p_type, 'ECONOMY')
+  AND p_brand <> 'Brand#23'
+  AND starts_with(p_name, 's')
+ORDER BY p_partkey
+"""
+
+
 def q_ordered_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6 ordered dedup preserving first occurrence (reference: candidate
     list dedup, ``evaluate.py:81-119``): per user, event types in first-
@@ -401,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search + labeled-candidate evaluation
         "cosine_topk": SIM.cosine_topk,
         "ivf_topk": SIM.ivf_topk,
+        "proto_topk": SIM.proto_topk,
         "knn_label_recall": EV.knn_label_recall,
         "recall_modes": MT.recall_modes,
         "map_at_k": MT.map_at_k,
@@ -424,6 +479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_vote_rank": q_part_vote_rank,
         "order_part_sets": q_order_part_sets,
         "ordered_dedup_first": q_ordered_dedup_first,
+        "dup_part_names": q_dup_part_names,
+        "filtered_parts": q_filtered_parts,
     }
 
 
@@ -440,6 +497,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": TA.FINGERPRINTS_SQL,
         "cosine_topk": SIM.COSINE_TOPK_SQL,
         "ivf_topk": SIM.IVF_TOPK_SQL,
+        "proto_topk": SIM.PROTO_TOPK_SQL,
         "knn_label_recall": EV.KNN_LABEL_RECALL_SQL,
         "recall_modes": MT.RECALL_MODES_SQL,
         "map_at_k": MT.MAP_AT_K_SQL,
@@ -461,4 +519,6 @@ def oracle_sql() -> dict[str, str]:
         "part_vote_rank": Q_PART_VOTE_RANK_SQL,
         "order_part_sets": Q_ORDER_PART_SETS_SQL,
         "ordered_dedup_first": Q_ORDERED_DEDUP_SQL,
+        "dup_part_names": Q_DUP_PART_NAMES_SQL,
+        "filtered_parts": Q_FILTERED_PARTS_SQL,
     }

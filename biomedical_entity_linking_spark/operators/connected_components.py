@@ -148,6 +148,23 @@ def connected_components(
     return members, iterations
 
 
+def exclude_vertices(
+    edges: DataFrame,
+    blocklist: DataFrame,
+    src: str = "url_a",
+    dst: str = "url_b",
+    vertex_col: str = "url",
+) -> DataFrame:
+    """P11: drop edges touching any excluded vertex (reference: the
+    ``special_partition`` exclusion set, ``special_partition.pyx:373-375``)
+    — two left-anti joins, the distributed form of the Cython seen-set."""
+    bl = blocklist.select(F.col(vertex_col).alias("_x"))
+    return (
+        edges.join(bl, edges[src] == F.col("_x"), "left_anti")
+        .join(bl, edges[dst] == F.col("_x"), "left_anti")
+    )
+
+
 def attach_singletons(labels: DataFrame, records: DataFrame, url_col: str = "url") -> DataFrame:
     """Give unmatched records their own singleton component (their url)."""
     return (

@@ -216,6 +216,91 @@ def ivf_topk(
     )
 
 
+def proto_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """G11 prototype-vector two-score-sum: each dictionary entry carries a
+    name vector AND a prototype vector; a query's score against an entry is
+    the SUM of its cosine to both (the reference doubles the query ``[v;v]``
+    against a ``[umls_vec; proto_vec]`` concat space —
+    ``krissbert/model/model.py:173-187``, ``krissbert/evaluate.py:186`` —
+    which is exactly two score columns summed; no special geometry).
+
+    The prototype here is the deterministic reverse of the embedding (the
+    synthetic stand-in for a second learned vector); the broadcast matmul
+    kernel computes both cosines in one pass.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    def unit(m: np.ndarray) -> np.ndarray:
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        return m / n[:, None]
+
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_name = spark.sparkContext.broadcast(unit(mat))
+    b_proto = spark.sparkContext.broadcast(unit(mat[:, ::-1]))
+
+    def search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dict_ids = b_ids.value
+        name_u = b_name.value
+        proto_u = b_proto.value
+        for pdf in batches:
+            q = unit(np.array(list(pdf["embedding"]), dtype=np.float64))
+            scores = q @ name_u.T + q @ proto_u.T  # two-score sum
+            out_rows = []
+            for row_i, vid in enumerate(pdf["vec_id"]):
+                s = scores[row_i]
+                order = np.lexsort((dict_ids, -s))
+                picked = 0
+                for j in order:
+                    if dict_ids[j] == vid:
+                        continue
+                    picked += 1
+                    out_rows.append((int(vid), int(dict_ids[j]), picked))
+                    if picked == k:
+                        break
+            yield pd.DataFrame(
+                out_rows, columns=["vec_id", "neighbor_id", "rank"]
+            )
+
+    return (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(search, "vec_id long, neighbor_id long, rank int")
+        .orderBy("vec_id", "rank")
+    )
+
+
+PROTO_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         CAST(embedding AS DOUBLE[]) AS v,
+         CAST(list_reverse(CAST(embedding AS DOUBLE[])) AS DOUBLE[]) AS p
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         + list_dot_product(a.v, b.p)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.p, b.p)))
+           AS score
+  FROM e a, e b
+  WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, neighbor_id)
+           AS rank
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY vec_id, rank
+"""
+
+
 _CELL8_SQL = " + ".join(
     f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << (7 - i)} ELSE 0 END)"
     for i in range(_MAX_CELL_BITS)

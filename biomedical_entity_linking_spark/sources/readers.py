@@ -56,6 +56,58 @@ def read_tsv_commented(
     )
 
 
+MRRANK_COLUMNS = ["rank", "sab", "tty", "suppress"]
+
+
+def read_mrrank(spark: SparkSession, path: str) -> DataFrame:
+    """S3: MRRANK scan + the reference's rank inversion ``rank = -rank + 850``
+    (``bioel/bioel/utils/umls_utils.py:160-166``) so lower = better for the
+    downstream rank-argmin canonical-name pick (A3)."""
+    df = read_rrf(spark, path, MRRANK_COLUMNS)
+    return df.withColumn(
+        "rank", (-F.col("rank").cast("int") + 850).alias("rank")
+    )
+
+
+MRDEF_COLUMNS = ["cui", "aui", "atui", "satui", "sab", "def_", "suppress", "cvf"]
+
+
+def attach_definitions(conso: DataFrame, mrdef: DataFrame) -> DataFrame:
+    """S4/J2: left-join MRDEF definitions on (cui, aui, sab)
+    (``bioel/bioel/utils/umls_utils.py:70-81``)."""
+    defs = mrdef.select("cui", "aui", "sab", F.col("def_").alias("definition"))
+    return conso.join(defs, ["cui", "aui", "sab"], "left")
+
+
+def cross_reference_map(
+    df: DataFrame, cui_col: str = "cui", source_col: str = "sdui"
+) -> tuple[DataFrame, DataFrame]:
+    """J3: reversible UMLS-cui ↔ source-vocabulary-id mapping
+    (``bioel/bioel/utils/umls_utils.py:344-378``): distinct pairs grouped
+    in both directions (a source id can map to several CUIs and vice
+    versa — the reference returns dicts of lists)."""
+    pairs = (
+        df.select(cui_col, source_col)
+        .filter(F.col(source_col).isNotNull() & F.col(cui_col).isNotNull())
+        .dropDuplicates([cui_col, source_col])
+    )
+    fwd = pairs.groupBy(cui_col).agg(
+        F.array_sort(F.collect_set(source_col)).alias("source_ids")
+    )
+    rev = pairs.groupBy(source_col).agg(
+        F.array_sort(F.collect_set(cui_col)).alias("cuis")
+    )
+    return fwd, rev
+
+
+def filter_confident(
+    df: DataFrame, conf_col: str = "confidence", min_conf: float = 0.95
+) -> DataFrame:
+    """P13: keep rows with confidence strictly above the cutoff (the Ab3P
+    abbreviation filter, ``abbreviations_utils.py:88-111``)."""
+    return df.filter(F.col(conf_col).cast("double") > min_conf)
+
+
 def read_alias_dict(spark: SparkSession, path: str) -> DataFrame:
     """``CUI||alias`` lines → (cui, alias), lowercased alias (the reference
     lowercases at load, ``sapbert/data/utils.py:88``)."""

@@ -95,3 +95,79 @@ def test_write_text_blocks(spark, tmp_path):
     write_text_blocks(df, out, "id", "txt")
     lines = sorted(r["value"] for r in spark.read.text(out).collect())
     assert lines == ["1 | line one wrapped", "2 | two"]
+
+
+def test_read_mrrank_inversion(spark, tmp_path):
+    """S3: rank = -rank + 850 (umls_utils.py:160-166)."""
+    p = tmp_path / "MRRANK.RRF"
+    p.write_text("800|MSH|MH|N|\n100|ICD|PT|N|\n")
+    from biomedical_entity_linking_spark.sources.readers import read_mrrank
+
+    rows = {r["sab"]: r["rank"] for r in read_mrrank(spark, str(p)).collect()}
+    assert rows == {"MSH": 50, "ICD": 750}  # lower = better
+
+
+def test_attach_definitions_left_join(spark):
+    """S4/J2: MRDEF left join on (cui, aui, sab) (umls_utils.py:70-81)."""
+    from biomedical_entity_linking_spark.sources.readers import (
+        attach_definitions,
+    )
+
+    conso = spark.createDataFrame(
+        [("C1", "A1", "MSH", "name1"), ("C2", "A2", "MSH", "name2")],
+        "cui string, aui string, sab string, str string",
+    )
+    mrdef = spark.createDataFrame(
+        [("C1", "A1", "x", "y", "MSH", "a def", "N", "")],
+        "cui string, aui string, atui string, satui string, sab string,"
+        " def_ string, suppress string, cvf string",
+    )
+    out = {r["cui"]: r["definition"] for r in attach_definitions(conso, mrdef).collect()}
+    assert out == {"C1": "a def", "C2": None}
+
+
+def test_cross_reference_map_reversible(spark):
+    """J3: cui ↔ source id maps in both directions (umls_utils.py:344-378)."""
+    from biomedical_entity_linking_spark.sources.readers import (
+        cross_reference_map,
+    )
+
+    df = spark.createDataFrame(
+        [("C1", "D1"), ("C1", "D2"), ("C2", "D2"), ("C1", "D1"), ("C3", None)],
+        "cui string, sdui string",
+    )
+    fwd, rev = cross_reference_map(df)
+    f = {r["cui"]: r["source_ids"] for r in fwd.collect()}
+    r = {x["sdui"]: x["cuis"] for x in rev.collect()}
+    assert f == {"C1": ["D1", "D2"], "C2": ["D2"]}
+    assert r == {"D1": ["C1"], "D2": ["C1", "C2"]}
+
+
+def test_filter_confident(spark):
+    """P13: Ab3P confidence > 0.95 (abbreviations_utils.py:88-111)."""
+    from biomedical_entity_linking_spark.sources.readers import (
+        filter_confident,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0.96), ("b", 0.95), ("c", 0.5)], "abbrev string, confidence double"
+    )
+    assert [r["abbrev"] for r in filter_confident(df).collect()] == ["a"]
+
+
+def test_exclude_vertices_anti_join(spark):
+    """P11: edges touching blocklisted vertices are dropped
+    (special_partition.pyx:373-375)."""
+    from biomedical_entity_linking_spark.operators.connected_components import (
+        exclude_vertices,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "url_a string, url_b string",
+    )
+    bl = spark.createDataFrame([("b",)], "url string")
+    kept = sorted(
+        (r["url_a"], r["url_b"]) for r in exclude_vertices(edges, bl).collect()
+    )
+    assert kept == [("c", "d"), ("d", "e")]
