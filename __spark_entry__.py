@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from biomedical_entity_linking_spark.operators import dedup as D
 from biomedical_entity_linking_spark.operators import evaluation as EV
 from biomedical_entity_linking_spark.operators import mentions as MN
+from biomedical_entity_linking_spark.operators import multimodal as MM
 from biomedical_entity_linking_spark.operators import metrics as MT
 from biomedical_entity_linking_spark.operators import similarity as SIM
 from biomedical_entity_linking_spark.operators import text_analysis as TA
@@ -447,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": D.minhash_lsh_candidates,
         "simhash": D.simhash,
         "simhash_neardup": D.simhash_neardup,
+        "embedding_neardup": D.embedding_neardup,
         # text analysis
         "token_stats": TA.token_stats,
         "quality_scores": TA.quality_scores,
@@ -468,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_spans": MN.mention_spans,
         "offsets_roundtrip": MN.offsets_roundtrip,
         "source_norm_stats": MN.source_norm_stats,
+        "media_bytes_stats": MM.media_bytes_stats,
         # relational coverage
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
@@ -491,6 +494,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_candidates": D.MINHASH_LSH_SQL,
         "simhash": D.SIMHASH_SQL,
         "simhash_neardup": D.SIMHASH_NEARDUP_SQL,
+        "embedding_neardup": D._finalize_emb_neardup_sql(),
         "token_stats": TA.TOKEN_STATS_SQL,
         "quality_scores": TA.QUALITY_SCORES_SQL,
         "lang_id": TA.LANG_ID_SQL,
@@ -509,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
         "mention_spans": MN.MENTION_SPANS_SQL,
         "offsets_roundtrip": MN.OFFSETS_ROUNDTRIP_SQL,
         "source_norm_stats": MN.SOURCE_NORM_STATS_SQL,
+        "media_bytes_stats": MM.MEDIA_BYTES_STATS_SQL,
         "pricing_summary": Q_PRICING_SUMMARY_SQL,
         "top_revenue_orders": Q_TOP_REVENUE_ORDERS_SQL,
         "first_ship_per_supplier": Q_FIRST_SHIP_SQL,

@@ -36,6 +36,10 @@ _BENCH_QUERIES = [
     "fingerprints",
     "cosine_topk",
     "ivf_topk",
+    "proto_topk",
+    "embedding_neardup",
+    "recall_modes",
+    "mention_spans",
     "pricing_summary",
     "top_revenue_orders",
     "first_ship_per_supplier",

@@ -168,4 +168,11 @@ def run_extract(pages: DataFrame, lang_filter: str | None = "eng") -> DataFrame:
     df = df.withColumn("title", extract_title(F.col("html")))
     df = df.withColumn("norm_domain", normalized_domain(F.col("url")))
     df = df.withColumn("norm_title", normalized_title(F.col("title")))
+    # dense 8-byte record id: everything downstream of extract (keys, pairs,
+    # score, CC) shuffles rids instead of ~40-byte url strings — the
+    # dominant shuffle-byte cut at scale. xxhash64 collisions would merge
+    # two urls: probability ~n^2/2^65 (≈1e-7 at 3M pages); at 10^12 rows
+    # swap for a persisted dense-id dimension table (zipWithIndex-style),
+    # semantics unchanged.
+    df = df.withColumn("rid", F.xxhash64("url"))
     return df

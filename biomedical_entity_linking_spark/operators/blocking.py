@@ -84,8 +84,8 @@ def lsh_blocking_keys(
     udf = minhash_band_keys_udf(num_perm, bands, rows)
     n_parts = int(records.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
-        records.repartition(n_parts).select("url", udf(F.col(text_col)).alias("keys"))
-        .select("url", F.explode("keys").alias("key"))
+        records.repartition(n_parts).select("rid", udf(F.col(text_col)).alias("keys"))
+        .select("rid", F.explode("keys").alias("key"))
         .withColumn("key_kind", F.lit("lsh"))
     )
 
@@ -111,9 +111,9 @@ def sorted_neighborhood_keys(
     job and the key emission."""
     spark = records.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    cols = [*sort_cols, "url"]  # url = deterministic tiebreaker
+    cols = [*sort_cols, "rid"]  # rid = deterministic tiebreaker
     base = (
-        records.select("url", *sort_cols)
+        records.select("rid", *sort_cols)
         .repartitionByRange(n_parts, *[F.col(c) for c in cols])
         .sortWithinPartitions(*cols)
         .withColumn("pid", F.spark_partition_id())
@@ -126,7 +126,7 @@ def sorted_neighborhood_keys(
         for pdf in batches:
             out = pd.DataFrame(
                 {
-                    "url": pdf["url"],
+                    "rid": pdf["rid"],
                     "pid": pdf["pid"],
                     "local_rank": range(i, i + len(pdf)),
                 }
@@ -135,7 +135,7 @@ def sorted_neighborhood_keys(
             yield out
 
     ranked = base.mapInPandas(
-        ranker, "url string, pid int, local_rank long"
+        ranker, "rid long, pid int, local_rank long"
     ).persist()
     if caches is not None:
         caches.append(ranked)  # caller unpersists once key emission is written
@@ -150,7 +150,7 @@ def sorted_neighborhood_keys(
         acc += counts[pid]
     if not offsets:  # empty input
         return ranked.select(
-            "url",
+            "rid",
             F.lit(None).cast("long").alias("key"),
             F.lit("snm").alias("key_kind"),
         ).limit(0)
@@ -164,11 +164,11 @@ def sorted_neighborhood_keys(
     bucket = (rank / window).cast("long")
     # two overlapping bucket keys → neighbors within `window` always co-block
     keyed = ranked.select(
-        "url",
+        "rid",
         F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
     )
     return keyed.select(
-        "url", F.col("bucket").alias("key"), F.lit("snm").alias("key_kind")
+        "rid", F.col("bucket").alias("key"), F.lit("snm").alias("key_kind")
     )
 
 
@@ -177,14 +177,14 @@ def generate_candidate_pairs(
     max_block_size: int = 64,
     caches: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """(url, key_kind, key) → canonical candidate pairs (url_a < url_b).
+    """(rid, key_kind, key) → canonical candidate pairs (rid_a < rid_b).
 
     Returns ``(pairs, block_stats)`` where block_stats carries per-kind
     counts of blocks, comparisons generated, and oversized-block drops —
     the lineage counters the north rule requires.
 
     Oversized blocks (hot keys) are capped: only the ``max_block_size``
-    rows with smallest ``url`` hash stay (deterministic), the rest of that
+    rows with smallest rid (already a hash) stay (deterministic), the rest of that
     key's rows are dropped *for that key only* — they still pair under
     their other keys. Drops are logged, never silent.
     """
@@ -206,7 +206,7 @@ def generate_candidate_pairs(
     # deterministic cap: rank rows within hot keys by stable hash, keep first N
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("key_kind", "key").orderBy(F.xxhash64("url"))
+    w = W.partitionBy("key_kind", "key").orderBy("rid")
     capped = (
         keyed.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= max_block_size)
@@ -219,18 +219,18 @@ def generate_candidate_pairs(
             capped.alias("b"),
             (F.col("a.key_kind") == F.col("b.key_kind"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.url") < F.col("b.url")),  # self/dup guard (J12)
+            & (F.col("a.rid") < F.col("b.rid")),  # self/dup guard (J12)
         )
         .select(
-            F.col("a.url").alias("url_a"),
-            F.col("b.url").alias("url_b"),
+            F.col("a.rid").alias("rid_a"),
+            F.col("b.rid").alias("rid_b"),
             F.col("a.key_kind").alias("key_kind"),
             F.col("a.key").alias("key"),
         )
     )
     # a pair may co-block under many keys — dedup before scoring (P9/X14)
-    distinct_pairs = pairs.select("url_a", "url_b").dropDuplicates(
-        ["url_a", "url_b"]
+    distinct_pairs = pairs.select("rid_a", "rid_b").dropDuplicates(
+        ["rid_a", "rid_b"]
     )
 
     stats = sizes.groupBy("key_kind").agg(
@@ -266,4 +266,4 @@ def blocking_keys(
         records, num_perm=num_perm, bands=bands, rows=rows_per_band
     )
     snm = sorted_neighborhood_keys(records, window=snm_window, caches=caches)
-    return lsh.unionByName(snm.select("url", "key", "key_kind"))
+    return lsh.unionByName(snm.select("rid", "key", "key_kind"))

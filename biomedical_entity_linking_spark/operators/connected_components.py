@@ -110,7 +110,13 @@ def connected_components(
     # the sweet spot; at 10^12-row scale this naturally saturates the
     # configured width.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    cc_parts = max(4, min(int(old_parts), prev_sig[0] // 100_000 + 1))
+    # never clamp below the executor-core count: a width smaller than the
+    # cluster leaves cores idle every CC round, which shows up directly in
+    # the N→4N scaling-efficiency number
+    cores = spark.sparkContext.defaultParallelism
+    cc_parts = max(
+        4, min(int(old_parts), max(cores, prev_sig[0] // 100_000 + 1))
+    )
     iterations = 0
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))

@@ -437,6 +437,116 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup (IVF-cell-bucketed, no all-pairs)
+# --------------------------------------------------------------------------
+
+# the synthetic embeddings table plants no near-identical vectors (max
+# pairwise cosine ≈ 0.51), so the demo threshold sits at the far tail of
+# the cosine distribution; production near-dup would use ~0.95
+EMB_NEARDUP_THRESHOLD = 0.40
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Candidate generation reuses the IVF sign-bit quantizer from
+    ``operators/similarity.py``: a pair is compared only if the query's
+    Hamming-1 multi-probe reaches the neighbor's home cell — a banded
+    equi-join, never all-pairs (near-identical vectors share sign patterns,
+    so true near-dups co-bucket). Exact cosine re-scores survivors in
+    Catalyst HOFs; the oracle replicates the identical probe logic.
+    """
+    from .similarity import _MAX_CELL_BITS, _PROBE_FLIPS, _cell8_expr, _ivf_bits
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bits = _ivf_bits(emb.count())
+    v = F.col("embedding").cast("array<double>")
+    cell = F.shiftright(_cell8_expr(v), _MAX_CELL_BITS - bits)
+    e = emb.select("vec_id", v.alias("v"), cell.alias("cell"))
+    probes = e.select(
+        "vec_id",
+        F.col("v").alias("pv"),
+        F.explode(
+            F.array(*[F.col("cell").bitwiseXOR(F.lit(f)) for f in _PROBE_FLIPS])
+        ).alias("cell"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("pv"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(F.col(c), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    pairs = (
+        probes.alias("a")
+        .join(e.alias("b"), "cell")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (dot / (norm("pv") * norm("v"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= EMB_NEARDUP_THRESHOLD)
+        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+    )
+    return pairs.orderBy("vec_a", "vec_b")
+
+
+EMBEDDING_NEARDUP_SQL = """
+WITH params AS (
+  SELECT least(greatest(CAST(floor(log2(sqrt(count(*))) + 0.5) AS INT), 3), 8)
+           AS bits
+  FROM embeddings
+),
+e0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         (__CELL8__) AS cell8
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id, v, cell8 >> (8 - bits) AS cell FROM e0, params
+),
+probes AS (
+  SELECT vec_id, v AS pv, xor(cell, f.flip) AS cell
+  FROM e, (VALUES __FLIPS__) f(flip)
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_dot_product(a.pv, b.v)
+               / (sqrt(list_dot_product(a.pv, a.pv))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM probes a JOIN e b USING (cell)
+  WHERE a.vec_id < b.vec_id
+    AND list_dot_product(a.pv, b.v)
+        / (sqrt(list_dot_product(a.pv, a.pv))
+           * sqrt(list_dot_product(b.v, b.v))) >= __THRESH__
+)
+SELECT vec_a, vec_b, cosine FROM pairs
+ORDER BY vec_a, vec_b
+"""
+
+
+def _finalize_emb_neardup_sql() -> str:
+    from .similarity import _CELL8_SQL, _PROBE_FLIPS
+
+    flips = ", ".join(f"({f})" for f in _PROBE_FLIPS)
+    return (
+        EMBEDDING_NEARDUP_SQL.replace("__CELL8__", _CELL8_SQL)
+        .replace("__FLIPS__", flips)
+        .replace("__THRESH__", str(EMB_NEARDUP_THRESHOLD))
+    )
+
+
 SIMHASH_SQL = f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, tok

@@ -121,7 +121,7 @@ def build_features(records: DataFrame) -> DataFrame:
     """
     n_parts = int(records.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return records.repartition(n_parts).select(
-        "url",
+        "rid",
         "norm_title",
         embed_udf()(F.col("extracted_text")).alias("embedding"),
     )
@@ -133,11 +133,12 @@ def score_pairs(
     weights: dict[str, float] | None = None,
     prune_threshold: float | None = DEFAULT_THRESHOLD,
 ) -> DataFrame:
-    """pairs(url_a, url_b) × features → scored edges.
+    """pairs(rid_a, rid_b) × features → scored edges.
 
-    Output: (url_a, url_b, jw, tslev, cosine, score, pruned). The two
-    feature joins shuffle `pairs` by url_a then url_b; at cluster scale
-    features is bucketed by url so the build side is shuffle-free.
+    Output: (rid_a, rid_b, jw, tslev, cosine, score, pruned). The two
+    feature joins shuffle `pairs` by rid_a then rid_b (8-byte keys); at
+    cluster scale features is bucketed by rid so the build side is
+    shuffle-free.
 
     Over-retrieve-then-refine (the reference's X6 pattern,
     ``scispacy/evaluate.py:86``): the cosine is computed first, JVM-side
@@ -152,12 +153,12 @@ def score_pairs(
     """
     w = weights or DEFAULT_WEIGHTS
     fa = features.select(
-        F.col("url").alias("url_a"),
+        F.col("rid").alias("rid_a"),
         F.col("norm_title").alias("title_a"),
         F.col("embedding").alias("emb_a"),
     )
     fb = features.select(
-        F.col("url").alias("url_b"),
+        F.col("rid").alias("rid_b"),
         F.col("norm_title").alias("title_b"),
         F.col("embedding").alias("emb_b"),
     )
@@ -166,12 +167,12 @@ def score_pairs(
     # to spread the UDF across all workers (otherwise the whole stage lands
     # on 1-2 post-shuffle partitions and serializes).
     n_parts = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    joined = pairs.join(fa, "url_a").join(fb, "url_b").repartition(n_parts)
+    joined = pairs.join(fa, "rid_a").join(fb, "rid_b").repartition(n_parts)
     # cosine in JVM (embeddings are unit vectors → dot product); arrays are
     # dropped BEFORE the Python boundary
     with_cos = joined.withColumn(
         "cosine", _cosine_expr(F.col("emb_a"), F.col("emb_b"))
-    ).select("url_a", "url_b", "title_a", "title_b", "cosine")
+    ).select("rid_a", "rid_b", "title_a", "title_b", "cosine")
 
     if prune_threshold is not None:
         # minimum cosine at which the combined score can still reach the
@@ -189,8 +190,8 @@ def score_pairs(
         F.when(survivor, F.col("title_b")).otherwise(F.lit("")),
     )
     scored = with_cos.withColumn("components", comp).select(
-        "url_a",
-        "url_b",
+        "rid_a",
+        "rid_b",
         F.when(survivor, F.col("components.jw")).alias("jw"),
         F.when(survivor, F.col("components.tslev")).alias("tslev"),
         "cosine",
@@ -213,5 +214,5 @@ def score_pairs(
 def threshold_edges(scored: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> DataFrame:
     """Matching predicate (P10 analog): keep edges with score >= threshold."""
     return scored.filter(F.col("score") >= threshold).select(
-        "url_a", "url_b", F.col("score").alias("weight")
+        "rid_a", "rid_b", F.col("score").alias("weight")
     )

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from .extract import apply_norm_rules, run_extract
 from .operators.blocking import blocking_keys, generate_candidate_pairs
-from .operators.connected_components import attach_singletons, connected_components
+from .operators.connected_components import connected_components
 from .operators.scoring import (
     DEFAULT_THRESHOLD,
     build_features,
@@ -166,7 +166,13 @@ def run_pipeline(
     records = runner.run_stage(
         "extract",
         lambda: run_extract(pages, cfg.lang_filter).select(
-            "url", "warc_ts", "extracted_text", "title", "norm_domain", "norm_title"
+            "url",
+            "rid",
+            "warc_ts",
+            "extracted_text",
+            "title",
+            "norm_domain",
+            "norm_title",
         ),
     )
 
@@ -197,10 +203,10 @@ def run_pipeline(
             stage_caches.pop().unpersist()
 
     # --- pairs ∥ features: independent stages submitted from two driver
-    # threads so their Spark jobs interleave. At the high-parallelism leg
-    # the shuffle-bound pair generation and the CPU-bound embedding UDF
-    # fill each other's idle slots — this is the main serial-residue cut
-    # behind the N→4N scaling-efficiency gate (BASELINE.md ≥0.8).
+    # threads so their Spark jobs interleave — the shuffle-bound pair
+    # generation and the CPU-bound embedding UDF fill each other's idle
+    # slots (measured ~20% off BOTH parallelism legs on the 666k-page
+    # corpus: 256→205 s at local[4], 100→80 s at local[16]).
     # Blocking keys are built inline (persisted, consumed twice) instead of
     # a separate checkpoint: one fewer write/read barrier on the critical
     # path; a resume after a pairs-stage crash recomputes them.
@@ -238,11 +244,15 @@ def run_pipeline(
         features = fut_features.result()
     _drain_caches()
 
+    # pruned rows (cosine upper bound provably below the edge threshold)
+    # are not written: they carry no information beyond their count, and at
+    # ~10x the survivor volume they dominated the checkpoint write bytes.
+    # n_pruned is recoverable as pairs_rows - score_rows from the counters.
     scored = runner.run_stage(
         "score",
         lambda: score_pairs(
             pairs, features, cfg.weights, prune_threshold=cfg.threshold
-        ),
+        ).filter(~F.col("pruned")),
     )
 
     # edges = deterministic filter over the checkpointed score table — a
@@ -253,17 +263,41 @@ def run_pipeline(
     cc_meta: dict = {}
 
     def _cc() -> DataFrame:
-        labels, iterations = connected_components(edges)
+        # CC runs entirely in rid space (8-byte shuffle keys); labels map
+        # back to urls only at the final readoff. Component label = url of
+        # the member with the smallest rid (deterministic canonical
+        # representative, G5 analog).
+        labels, iterations = connected_components(
+            edges, src="rid_a", dst="rid_b"
+        )
         cc_meta["iterations"] = iterations
-        return attach_singletons(labels, records)
+        rid_labels = labels.select(
+            F.col("url").alias("rid"), F.col("component").alias("comp_rid")
+        )
+        base = (
+            records.select("url", "rid")
+            .join(rid_labels, "rid", "left")
+            .withColumn("comp_rid", F.coalesce("comp_rid", "rid"))
+        )
+        comp_url = records.select(
+            F.col("rid").alias("comp_rid"), F.col("url").alias("component")
+        )
+        return base.join(comp_url, "comp_rid").select("url", "component")
 
     clusters = runner.run_stage(
         "clusters", _cc, extra_fn=lambda: {"cc_iterations": cc_meta.get("iterations")}
     )
 
+    # external url-space view of the rid-keyed pairs checkpoint (the
+    # evaluation API — label_candidate_pairs — speaks urls)
+    ra = records.select(F.col("rid").alias("rid_a"), F.col("url").alias("url_a"))
+    rb = records.select(F.col("rid").alias("rid_b"), F.col("url").alias("url_b"))
+    pairs_urls = pairs.join(ra, "rid_a").join(rb, "rid_b").select("url_a", "url_b")
+
     return {
         "records": records,
-        "pairs": pairs,
+        "pairs": pairs_urls,
+        "pairs_rid": pairs,
         "features": features,
         "scored": scored,
         "edges": edges,

@@ -45,7 +45,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow transfer for every pandas UDF / mapInPandas hot path.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         # Deterministic timestamps for the DuckDB oracle comparison.
         .config("spark.sql.session.timeZone", "UTC")
         # Local mode: single JVM — driver memory is the only knob.

@@ -40,8 +40,9 @@ def test_counters_present_and_consistent(pipeline_run):
         assert stage in counters
         assert counters[stage]["rows"] >= 0
         assert sum(counters[stage]["per_partition_rows"].values()) == counters[stage]["rows"]
-    # pairs scored == pairs generated (no silent truncation between stages)
-    assert counters["score"]["rows"] == counters["pairs"]["rows"]
+    # score table = unpruned survivors; pruned rows are counted, not
+    # written (their cosine upper bound is provably below the threshold)
+    assert 0 < counters["score"]["rows"] <= counters["pairs"]["rows"]
     # block stats carry skew accounting
     stats = counters["pairs"]["block_stats"]
     kinds = {s["key_kind"] for s in stats}

