@@ -53,10 +53,11 @@ class PipelineConfig:
     weights: dict = field(
         default_factory=lambda: {"jw": 0.35, "tslev": 0.30, "cosine": 0.35}
     )
-    # content fingerprint of the norm-rules table (set by run_pipeline when
-    # rules are passed); part of every stage fingerprint so new rules
-    # invalidate the checkpoints they affect
+    # content fingerprints of the optional side tables (set by run_pipeline
+    # when they are passed); part of every stage fingerprint so new rules /
+    # blocklists invalidate the checkpoints they affect
     norm_rules_fp: int | None = None
+    vertex_blocklist_fp: int | None = None
 
     def fingerprint(self, stage: str) -> str:
         payload = json.dumps(
@@ -145,19 +146,32 @@ def run_pipeline(
     pages: DataFrame,
     cfg: PipelineConfig,
     norm_rules: DataFrame | None = None,
+    vertex_blocklist: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Full pipeline. Returns the stage DataFrames (all checkpointed).
 
     ``norm_rules``: optional (domain, token, replacement) dictionary — the
     abbreviation-map analog the reference applies inside its main flow
     (``bigbio_utils.py:322-341``). When given, an extra checkpointed
-    ``normalize`` stage rewrites ``norm_title`` before blocking."""
+    ``normalize`` stage rewrites ``norm_title`` before blocking.
+
+    ``vertex_blocklist``: optional (url) table of pages excluded from
+    clustering — edges touching them are anti-joined away before CC (the
+    reference's excluded-vertex set, ``special_partition.pyx:373-375``);
+    blocklisted pages come out as singletons."""
     if norm_rules is not None:
         cfg.norm_rules_fp = int(
             norm_rules.agg(
                 F.bit_xor(
                     F.xxhash64("domain", "token", "replacement")
                 ).alias("fp")
+            ).first()["fp"]
+            or 0
+        )
+    if vertex_blocklist is not None:
+        cfg.vertex_blocklist_fp = int(
+            vertex_blocklist.agg(
+                F.bit_xor(F.xxhash64("url")).alias("fp")
             ).first()["fp"]
             or 0
         )
@@ -259,6 +273,16 @@ def run_pipeline(
     # derived view, not a barrier (the filter re-applies identically on
     # resume; the 'edges' parquet write/read round-trip bought nothing)
     edges = threshold_edges(scored, cfg.threshold)
+
+    if vertex_blocklist is not None:
+        from .operators.connected_components import exclude_vertices
+
+        bl_rids = vertex_blocklist.select(
+            F.xxhash64("url").alias("rid")
+        ).dropDuplicates(["rid"])
+        edges = exclude_vertices(
+            edges, bl_rids, src="rid_a", dst="rid_b", vertex_col="rid"
+        )
 
     cc_meta: dict = {}
 

@@ -79,6 +79,38 @@ def attach_definitions(conso: DataFrame, mrdef: DataFrame) -> DataFrame:
     return conso.join(defs, ["cui", "aui", "sab"], "left")
 
 
+MRSTY_COLUMNS = ["cui", "tui", "stn", "sty", "atui", "cvf"]
+
+
+def read_mrsty(spark: SparkSession, path: str) -> DataFrame:
+    """S5: MRSTY scan projected to (cui, tui)
+    (``bioel/bioel/utils/umls_utils.py:393-400``: usecols=[0,1])."""
+    return read_rrf(spark, path, MRSTY_COLUMNS, usecols=["cui", "tui"])
+
+
+def read_semgroups(spark: SparkSession, path: str) -> DataFrame:
+    """S5: SemGroups.txt scan projected to (tui, sem_group)
+    (``umls_utils.py:422-431``: usecols=[0,2] of group|name|tui|...)."""
+    cols = ["sem_group", "group_name", "tui", "type_name"]
+    df = read_rrf(spark, path, cols)
+    return df.select("tui", "sem_group")
+
+
+def cui_types_groups(mrsty: DataFrame, semgroups: DataFrame) -> DataFrame:
+    """A5: cui → (types list, distinct groups list)
+    (``umls_utils.py:405-415``: grouped tui→list, group→list(set)).
+    SemGroups is tiny → broadcast; groups sorted for determinism (the
+    reference's set() has no order)."""
+    joined = mrsty.join(F.broadcast(semgroups), "tui", "left")
+    return (
+        joined.groupBy("cui")
+        .agg(
+            F.array_sort(F.collect_list("tui")).alias("tuis"),
+            F.array_sort(F.collect_set("sem_group")).alias("sem_groups"),
+        )
+    )
+
+
 def cross_reference_map(
     df: DataFrame, cui_col: str = "cui", source_col: str = "sdui"
 ) -> tuple[DataFrame, DataFrame]:

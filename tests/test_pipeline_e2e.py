@@ -104,3 +104,33 @@ def test_viral_title_not_merged(pipeline_run):
         out["clusters"].filter(out["clusters"].url.isin(viral_urls)).select("component").distinct().count()
     )
     assert comps == len(viral_urls)
+
+
+def test_vertex_blocklist_isolates_pages(spark, tmp_path):
+    """P11 in-flow: a blocklisted url loses all its edges and lands in a
+    singleton component; other clusters unaffected."""
+    from biomedical_entity_linking_spark.data.generator import (
+        corpus_to_spark,
+        generate_corpus,
+    )
+
+    pages, gold = corpus_to_spark(spark, generate_corpus(n_entities=30, seed=5))
+    base = run_pipeline(
+        spark, pages, PipelineConfig(work_dir=str(tmp_path / "a"))
+    )
+    comps = {r["url"]: r["component"] for r in base["clusters"].collect()}
+    # pick a url that co-clusters with something
+    sizes = {}
+    for u, c in comps.items():
+        sizes.setdefault(c, []).append(u)
+    victim = next(us[0] for us in sizes.values() if len(us) >= 2)
+    bl = spark.createDataFrame([(victim,)], "url string")
+    out = run_pipeline(
+        spark,
+        pages,
+        PipelineConfig(work_dir=str(tmp_path / "b")),
+        vertex_blocklist=bl,
+    )
+    comps2 = {r["url"]: r["component"] for r in out["clusters"].collect()}
+    assert comps2[victim] == victim  # singleton: own url is the label
+    assert sum(1 for c in comps2.values() if c == victim) == 1

@@ -171,3 +171,32 @@ def test_exclude_vertices_anti_join(spark):
         (r["url_a"], r["url_b"]) for r in exclude_vertices(edges, bl).collect()
     )
     assert kept == [("c", "d"), ("d", "e")]
+
+
+def test_mrsty_semgroups_cui_types(spark, tmp_path):
+    """S5/A5: MRSTY + SemGroups → cui→types/groups (umls_utils.py:387-431)."""
+    from biomedical_entity_linking_spark.sources.readers import (
+        cui_types_groups,
+        read_mrsty,
+        read_semgroups,
+    )
+
+    mrsty = tmp_path / "MRSTY.RRF"
+    mrsty.write_text(
+        "C1|T047|B2.2|Disease|AT1||\n"
+        "C1|T191|B2.2|Neoplastic|AT2||\n"
+        "C2|T047|B2.2|Disease|AT3||\n"
+    )
+    sg = tmp_path / "SemGroups.txt"
+    sg.write_text(
+        "DISO|Disorders|T047|Disease or Syndrome|\n"
+        "DISO|Disorders|T191|Neoplastic Process|\n"
+    )
+    st = read_mrsty(spark, str(mrsty))
+    assert st.columns == ["cui", "tui"]  # usecols projection
+    out = {
+        r["cui"]: (r["tuis"], r["sem_groups"])
+        for r in cui_types_groups(st, read_semgroups(spark, str(sg))).collect()
+    }
+    assert out["C1"] == (["T047", "T191"], ["DISO"])  # groups deduped
+    assert out["C2"] == (["T047"], ["DISO"])
