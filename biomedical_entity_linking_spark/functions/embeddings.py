@@ -6,7 +6,8 @@ one vector per mention/entity and scores with inner product / cosine
 ``bioel/bioel/models/krissbert/model/model.py:131-151``). The sandbox has no
 model weights, so the embedding function is a *deterministic hash-based*
 stand-in: every token maps to a fixed pseudo-random unit-ish vector (seeded
-by the token's blake2b digest) and a text embeds as the L2-normalized mean of
+by the token's siphash, expanded via splitmix64) and a text embeds as the
+L2-normalized mean of
 its token vectors. This preserves exactly the property the pipeline needs —
 texts sharing many tokens have high cosine — while being reproducible on any
 worker with zero model downloads.
@@ -16,24 +17,54 @@ All entry points are batch kernels for Arrow pandas UDFs.
 
 from __future__ import annotations
 
-from hashlib import blake2b
-
 import numpy as np
 import pandas as pd
 
 DIM = 64
 
 
+def _expand_hash_bytes(h: np.ndarray, dim: int) -> np.ndarray:
+    """uint64 seeds (n,) → pseudo-random uint8 matrix (n, dim) via
+    vectorized splitmix64 steps — the whole token→bytes derivation is
+    numpy array ops (a per-token blake2b loop was ~1.5 s per 500k unique
+    tokens; this is ~30 ms)."""
+    n = len(h)
+    words = (dim + 7) // 8
+    out = np.empty((n, words * 8), dtype=np.uint8)
+    x = h.astype(np.uint64, copy=True)
+    golden = np.uint64(0x9E3779B97F4A7C15)
+    m1 = np.uint64(0xBF58476D1CE4E5B9)
+    m2 = np.uint64(0x94D049BB133111EB)
+    for w in range(words):
+        x = x + golden  # uint64 wraparound
+        z = x.copy()
+        z ^= z >> np.uint64(30)
+        z *= m1
+        z ^= z >> np.uint64(27)
+        z *= m2
+        z ^= z >> np.uint64(31)
+        out[:, w * 8 : (w + 1) * 8] = (
+            np.ascontiguousarray(z[:, None]).view(np.uint8)
+        )
+    return out[:, :dim]
+
+
+def _hash_tokens(tokens: np.ndarray) -> np.ndarray:
+    """object array of str → deterministic uint64 per token (pandas
+    siphash with its fixed default key — stable across runs/processes).
+    pandas' hashtable truncates object keys at NUL bytes; harmless here
+    (a pathological NUL token merely aliases two token vectors,
+    deterministically — the embedding is a hash stand-in, not a codec)."""
+    import pandas as pd
+
+    return pd.util.hash_array(tokens, categorize=False)
+
+
 def _token_vector(token: str, dim: int = DIM) -> np.ndarray:
-    """Fixed pseudo-random vector per token, derived directly from blake2b
-    digest bytes (centered uniform). ~30x faster than seeding a RandomState
-    per token — which dominates embedding cost on Zipf-tail vocabularies
-    where most tokens are cache misses."""
-    raw = blake2b(token.encode("utf-8"), digest_size=min(dim, 64)).digest()
-    v = np.frombuffer(raw, dtype=np.uint8)
-    if dim > 64:  # tile (matches BulkTokenCache's bulk path)
-        v = np.tile(v, (dim + 63) // 64)[:dim]
-    v = v.astype(np.float32)
+    """Fixed pseudo-random vector per token (centered uniform bytes from
+    the same hash_array+splitmix64 derivation the bulk path uses)."""
+    h = _hash_tokens(np.array([token], dtype=object))
+    v = _expand_hash_bytes(h, dim)[0].astype(np.float32)
     return (v - 127.5) / 73.9  # center + scale to unit-ish variance
 
 
@@ -78,12 +109,11 @@ def embed_batch(
 ) -> "list[list[float]] | np.ndarray":
     """Batch kernel: Series[str] → list of dim-float lists.
 
-    Fully vectorized: tokenize the whole batch, bulk-derive vectors for
-    unseen tokens (one frombuffer over concatenated digests), then one
-    ``np.add.reduceat`` over the gathered rows for per-text pooling. The
-    per-token Python cost collapses to a dict lookup + blake2b digest;
-    pass a persistent ``BulkTokenCache`` (iterator-UDF state) to reuse hot
-    tokens across Arrow batches.
+    Fully vectorized: tokenize the whole batch, factorize the token
+    stream (C-speed), derive all unique token vectors in one
+    hash_array+splitmix64 array pass, then pool per text with per-dim
+    bincount segment sums over uint8 gathers. No per-token Python work
+    anywhere.
     """
     cache = cache or BulkTokenCache(dim)
     tok_lists = [t.lower().split() for t in texts.fillna("")]
@@ -122,9 +152,10 @@ class BulkTokenCache:
 
     Deliberately NOT persistent across batches: on Zipf-tail vocabularies a
     growing cache is quadratic in copying (vstack per batch) and unbounded
-    in memory, while re-deriving a token vector is one blake2b digest
-    (~0.3 µs) — recomputing hot tokens per batch is cheaper than caching
-    the tail. ``matrix`` holds only the current batch's unique tokens.
+    in memory, while re-deriving the whole batch's unique vectors is one
+    vectorized hash+expand pass — recomputing hot tokens per batch is
+    cheaper than caching the tail. ``matrix`` holds only the current
+    batch's unique tokens.
     """
 
     def __init__(self, dim: int = DIM):
@@ -138,19 +169,9 @@ class BulkTokenCache:
         # embedding is a deterministic hash stand-in, so a pathological
         # NUL-token merge just aliases two token vectors, deterministically.
         codes, uniq = pd.factorize(np.asarray(tokens, dtype=object))
-        dsize = min(self.dim, 64)
-        digests = b"".join(
-            blake2b(t.encode("utf-8"), digest_size=dsize).digest() for t in uniq
-        )
-        if self.dim <= 64:
-            block = np.frombuffer(digests, dtype=np.uint8).reshape(
-                len(uniq), self.dim
-            )
-        else:  # rare big-dim path: tile extra digests
-            base = np.frombuffer(digests, dtype=np.uint8).reshape(len(uniq), 64)
-            reps = (self.dim + 63) // 64
-            block = np.tile(base, (1, reps))[:, : self.dim]
-        self.matrix = block  # raw uint8; centering happens after pooling
+        seeds = _hash_tokens(np.asarray(uniq, dtype=object))
+        # raw uint8; centering happens after pooling
+        self.matrix = _expand_hash_bytes(seeds, self.dim)
         return codes.astype(np.int64, copy=False)
 
 

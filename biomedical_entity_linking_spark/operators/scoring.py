@@ -31,7 +31,11 @@ from pyspark.sql.types import (
 from ..functions.embeddings import DIM, embed_batch
 from ..functions.strings import jaro_winkler_batch, token_set_lev_batch
 
-DEFAULT_WEIGHTS = {"jw": 0.35, "tslev": 0.30, "cosine": 0.35}
+# body cosine carries the largest weight: with identical normalized titles
+# (jw = tslev = 1 -> 0.55 base) an edge still needs body cosine >= 0.6 —
+# a 4.8σ event for unrelated 64-dim pooled embeddings, so viral-title
+# blocks cannot merge through title similarity alone
+DEFAULT_WEIGHTS = {"jw": 0.30, "tslev": 0.25, "cosine": 0.45}
 DEFAULT_THRESHOLD = 0.82
 
 _SCORE_SCHEMA = StructType(
@@ -42,9 +46,12 @@ _SCORE_SCHEMA = StructType(
 )
 
 
-SCORING_DIM = 32  # random-projection hash embeddings: 32 dims separate
+SCORING_DIM = 64  # random-projection hash embeddings: 64 dims separate
 #                   near-identical bodies (cos ≈ 1) from unrelated ones
-#                   (cos ~ N(0, 1/sqrt(32))) with ample margin
+#                   (cos ~ N(0, 1/8)): the identical-title false-merge
+#                   cosine cutoff (0.486) sits at 3.9σ (p ≈ 5e-5/pair) —
+#                   at 32 dims it was 2.7σ (0.23%/pair), measurably too
+#                   high for viral-title blocks at web scale
 QUANT_SCALE = 127  # int8 quantization of the unit vector
 
 

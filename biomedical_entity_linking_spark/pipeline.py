@@ -51,7 +51,7 @@ class PipelineConfig:
     max_block_size: int = 64
     threshold: float = DEFAULT_THRESHOLD
     weights: dict = field(
-        default_factory=lambda: {"jw": 0.35, "tslev": 0.30, "cosine": 0.35}
+        default_factory=lambda: {"jw": 0.30, "tslev": 0.25, "cosine": 0.45}
     )
     # content fingerprints of the optional side tables (set by run_pipeline
     # when they are passed); part of every stage fingerprint so new rules /
