@@ -140,8 +140,11 @@ def _encode(strs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     M = np.full((n, max(L, 1)), 0xFFFFFFFF, dtype=np.uint32)
     for i, s in enumerate(strs):  # one pass over UNIQUE strings only
         if s:
+            # surrogatepass: lone surrogates are representable in utf-32,
+            # so the kernel is total over Python strs (Arrow-validated
+            # UTF-8 never produces them, but direct pandas callers can)
             M[i, : len(s)] = np.frombuffer(
-                s.encode("utf-32-le"), dtype=np.uint32
+                s.encode("utf-32-le", errors="surrogatepass"), dtype=np.uint32
             )
     return M, lens
 
@@ -264,6 +267,13 @@ def _unique_pairs(
     uhi_l: list[str] = []
     for i in range(len(av)):
         x, y = av[i], bv[i]
+        if equal[i]:
+            # equal pairs short-circuit to 1.0 downstream — never register
+            # them in the unique work set (duplicate titles are the common
+            # case; without this each distinct duplicate still paid the
+            # O(len^2) DP kernel before being overwritten)
+            codes[i] = -1
+            continue
         key = (x, y) if x <= y else (y, x)
         c = seen.get(key)
         if c is None:
@@ -303,12 +313,11 @@ def jaro_winkler_batch(a: pd.Series, b: pd.Series) -> pd.Series:
     """Batch kernel: elementwise Jaro-Winkler, vectorized over unique
     non-equal pairs (equal strings short-circuit to 1.0)."""
     codes, ulo, uhi, equal = _unique_pairs(a, b)
+    out = np.ones(len(codes), dtype=np.float64)  # equal pairs stay 1.0
     if len(ulo):
         uvals = _chunked(ulo, uhi, _jaro_winkler_core)
-        out = uvals[codes]
-    else:
-        out = np.zeros(len(codes), dtype=np.float64)
-    out[equal] = 1.0
+        ne = ~equal
+        out[ne] = uvals[codes[ne]]
     return pd.Series(out)
 
 
@@ -317,6 +326,7 @@ def token_set_lev_batch(a: pd.Series, b: pd.Series) -> pd.Series:
     normalization runs once per unique string; the edit distance runs
     vectorized over unique normalized pairs."""
     codes, ulo, uhi, equal = _unique_pairs(a, b)
+    out = np.ones(len(codes), dtype=np.float64)  # equal pairs stay 1.0
     if len(ulo):
         # normalize once per unique STRING (not per pair)
         all_strs, inv = np.unique(
@@ -335,8 +345,6 @@ def token_set_lev_batch(a: pd.Series, b: pd.Series) -> pd.Series:
 
         uvals = _chunked(nlo, nhi, ratio_core)
         uvals = np.where(nlo == nhi, 1.0, uvals)
-        out = uvals[codes]
-    else:
-        out = np.zeros(len(codes), dtype=np.float64)
-    out[equal] = 1.0
+        ne = ~equal
+        out[ne] = uvals[codes[ne]]
     return pd.Series(out)

@@ -26,6 +26,11 @@ from pyspark.sql import DataFrame
 
 MATCH_SCHEMA = "doc_id long, mention string, cui string, start int, end int"
 
+# alias dictionaries are small in practice (the reference pickles the same
+# trie and ships it whole); this cap turns a mistaken huge build side into a
+# clear error instead of a silent driver OOM
+MAX_ALIAS_ROWS = 5_000_000
+
 
 def _build_trie(aliases: list[tuple[str, str]]) -> dict:
     """Character trie: nested dicts; terminal nodes hold the cui under
@@ -70,13 +75,26 @@ def extract_dictionary_mentions(
     alias_to_cui: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_alias_rows: int = MAX_ALIAS_ROWS,
 ) -> DataFrame:
     """docs × broadcast(alias dict) → (doc_id, mention, cui, start, end).
 
     ``alias_to_cui``: (alias, cui) — e.g. the first cui of
     ``alias_inverted_index`` or an exploded entity table. Lowercased
-    matching, mirroring the reference dictionary build."""
+    matching, mirroring the reference dictionary build.
+
+    Size guard: the alias table is the broadcast build side; above
+    ``max_alias_rows`` the collect fails with a clear message (a dictionary
+    that size needs a join-based matcher, not a per-executor trie)."""
     spark = docs.sparkSession
+    n_aliases = alias_to_cui.count()
+    if n_aliases > max_alias_rows:
+        raise ValueError(
+            f"alias dictionary has {n_aliases} rows, above the broadcast-trie "
+            f"cap of {max_alias_rows}; use a join-based matcher (e.g. "
+            "exact_name_lut_join over tokenized spans) for dictionaries this "
+            "size"
+        )
     pairs = [
         (r["alias"], r["cui"])
         for r in alias_to_cui.select(

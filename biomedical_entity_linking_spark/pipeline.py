@@ -159,22 +159,38 @@ def run_pipeline(
     clustering — edges touching them are anti-joined away before CC (the
     reference's excluded-vertex set, ``special_partition.pyx:373-375``);
     blocklisted pages come out as singletons."""
-    if norm_rules is not None:
-        cfg.norm_rules_fp = int(
-            norm_rules.agg(
-                F.bit_xor(
-                    F.xxhash64("domain", "token", "replacement")
-                ).alias("fp")
-            ).first()["fp"]
-            or 0
-        )
-    if vertex_blocklist is not None:
-        cfg.vertex_blocklist_fp = int(
-            vertex_blocklist.agg(
-                F.bit_xor(F.xxhash64("url")).alias("fp")
-            ).first()["fp"]
-            or 0
-        )
+    # fingerprint on a COPY: mutating the caller's cfg would make a later
+    # run that omits norm_rules/vertex_blocklist silently reuse checkpoints
+    # fingerprinted with the stale side-table hash (the fields are also
+    # reset to None when the argument is absent, so the same cfg object can
+    # be reused across runs with and without side tables)
+    from dataclasses import replace
+
+    cfg = replace(
+        cfg,
+        norm_rules_fp=(
+            int(
+                norm_rules.agg(
+                    F.bit_xor(
+                        F.xxhash64("domain", "token", "replacement")
+                    ).alias("fp")
+                ).first()["fp"]
+                or 0
+            )
+            if norm_rules is not None
+            else None
+        ),
+        vertex_blocklist_fp=(
+            int(
+                vertex_blocklist.agg(
+                    F.bit_xor(F.xxhash64("url")).alias("fp")
+                ).first()["fp"]
+                or 0
+            )
+            if vertex_blocklist is not None
+            else None
+        ),
+    )
     runner = StageRunner(spark, cfg)
 
     records = runner.run_stage(

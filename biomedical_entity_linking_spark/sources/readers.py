@@ -208,8 +208,16 @@ def read_obo(
     from the post-explode repartition, no Python parsing."""
     raw = spark.read.text(path, wholetext=True)
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # posexplode BEFORE the repartition: the stanza ordinal is the file
+    # order, so the duplicate-CUI dedup below is deterministic and stable
+    # under task retry (monotonically_increasing_id after a round-robin
+    # repartition is neither)
     stanzas = (
-        raw.select(F.explode(F.split(F.col("value"), r"\n\[")).alias("block"))
+        raw.select(
+            F.posexplode(F.split(F.col("value"), r"\n\[")).alias(
+                "stanza_ord", "block"
+            )
+        )
         .filter(F.col("block").startswith("Term]"))
         .repartition(n_parts)
     )
@@ -220,6 +228,7 @@ def read_obo(
     alt_ids = F.regexp_extract_all(b, F.lit(r"(?m)^alt_id: (.+?)\s*$"), 1)
     definition = F.regexp_extract(b, r'(?m)^def: "([^"]*)"', 1)
     df = stanzas.select(
+        F.col("stanza_ord"),
         cui.alias("cui"),
         F.when(F.length(name) > 0, name).alias("name_tag"),
         synonyms.alias("synonyms"),
@@ -241,6 +250,7 @@ def read_obo(
         df.withColumn("all_syn", all_syn)
         .filter(F.size("all_syn") > 0)
         .select(
+            "stanza_ord",
             "cui",
             F.element_at("all_syn", 1).alias("name"),
             F.lit(
@@ -255,14 +265,16 @@ def read_obo(
             ),
         )
     )
-    # duplicate CUIs: keep first occurrence (reference warns + skips)
+    # duplicate CUIs: keep first occurrence IN FILE ORDER (reference warns
+    # + skips; the stanza ordinal captured before the repartition is the
+    # file order)
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("cui").orderBy(F.monotonically_increasing_id())
+    w = W.partitionBy("cui").orderBy("stanza_ord")
     return (
         df.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") == 1)
-        .drop("_r")
+        .drop("_r", "stanza_ord")
     )
 
 

@@ -115,3 +115,31 @@ def test_pipeline_rules_change_invalidates_checkpoint(spark, tmp_path):
     )
     out2 = run_pipeline(spark, pages, PipelineConfig(work_dir=wd), norm_rules=r2)
     assert out2["records"].first()["norm_title"] == "global news"
+
+
+def test_cfg_object_reuse_without_rules_recomputes(spark, tmp_path):
+    """Reusing the SAME PipelineConfig object for a later run WITHOUT
+    norm_rules must not reuse the normalized checkpoints (run_pipeline
+    fingerprints a copy; the caller's cfg is never mutated)."""
+    from biomedical_entity_linking_spark.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    html = lambda t: f"<html><head><title>{t}</title></head><body>b</body></html>".encode()
+    pages = spark.createDataFrame(
+        [("https://ex.com/a", None, html("intl news"), "intl news\nb", "eng")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    cfg = PipelineConfig(work_dir=str(tmp_path / "wd3"))
+    rules = spark.createDataFrame(
+        [("ex.com", "intl", "international")],
+        "domain string, token string, replacement string",
+    )
+    out1 = run_pipeline(spark, pages, cfg, norm_rules=rules)
+    assert out1["records"].first()["norm_title"] == "international news"
+    # caller's cfg untouched
+    assert cfg.norm_rules_fp is None and cfg.vertex_blocklist_fp is None
+    # same cfg object, no rules → output is NOT normalized
+    out2 = run_pipeline(spark, pages, cfg)
+    assert out2["records"].first()["norm_title"] == "intl news"

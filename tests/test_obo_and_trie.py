@@ -119,3 +119,31 @@ def test_trie_extraction_boundary_is_alnum_rule(spark):
     )
     # 'widget,' matches (comma boundary); 'widget9' does not; final matches
     assert got == [(0, 6), (16, 22)]
+
+
+def test_read_obo_duplicate_cui_keeps_first_in_file_order(spark, tmp_path):
+    """Duplicate ids resolve to the FIRST stanza in file order (the
+    reference warns + keeps the first; ontology.py:100-104) — stable under
+    repartition/task retry because the dedup orders on the stanza ordinal
+    captured before any shuffle."""
+    dup = OBO_FIXTURE + textwrap.dedent("""\
+
+        [Term]
+        id: TT:0001
+        name: impostor
+    """)
+    p = tmp_path / "dup.obo"
+    p.write_text(dup)
+    rows = {r["cui"]: r for r in read_obo(spark, str(p)).collect()}
+    assert rows["TT:0001"]["name"] == "widget"
+
+
+def test_trie_broadcast_size_guard(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    aliases = spark.createDataFrame(
+        [("a", "C1"), ("b", "C2"), ("c", "C3")], "alias string, cui string"
+    )
+    with pytest.raises(ValueError, match="broadcast-trie cap"):
+        extract_dictionary_mentions(docs, aliases, max_alias_rows=2).collect()

@@ -119,3 +119,35 @@ def test_vectorized_kernels_match_scalar_property(pairs):
         assert math.isclose(
             ts[i], token_set_levenshtein_ratio(x, y), abs_tol=1e-12
         ), (x, y)
+
+
+class TestUniquifierShortCircuits:
+    def test_equal_pairs_never_enter_work_set(self):
+        from biomedical_entity_linking_spark.functions.strings import (
+            _unique_pairs,
+        )
+
+        a = pd.Series(["same title", "same title", "alpha"])
+        b = pd.Series(["same title", "same title", "beta"])
+        codes, ulo, uhi, equal = _unique_pairs(a, b)
+        # only the one non-equal pair is registered for the DP kernels
+        assert list(equal) == [True, True, False]
+        assert len(ulo) == 1 and len(uhi) == 1
+        assert codes[2] == 0
+
+    def test_all_equal_batch(self):
+        a = pd.Series(["x", "x"])
+        out = jaro_winkler_batch(a, a.copy())
+        assert list(out) == [1.0, 1.0]
+        out2 = token_set_lev_batch(a, a.copy())
+        assert list(out2) == [1.0, 1.0]
+
+    def test_lone_surrogates_do_not_raise(self):
+        # str.encode('utf-32-le') is strict; the kernel must be total over
+        # Python strs (direct pandas callers can hold lone surrogates)
+        a = pd.Series(["ab\ud800cd", "plain"])
+        b = pd.Series(["abcd", "plane"])
+        out = jaro_winkler_batch(a, b)
+        assert len(out) == 2 and all(0.0 <= v <= 1.0 for v in out)
+        out2 = token_set_lev_batch(a, b)
+        assert len(out2) == 2 and all(0.0 <= v <= 1.0 for v in out2)
