@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .similarity import TOP_K, cosine_topk
+from .similarity import TOP_K, cached_exact_topk
 
 MISS_SENTINEL = 1000000  # reference: bioel/bioel/evaluate.py:209
 
@@ -33,7 +33,14 @@ def knn_label_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     miss sentinel; recall@k = avg(first_hit <= k)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     labels = emb.select("vec_id", "label")
-    nn = cosine_topk(spark, sf_dir)
+    # reuse the metric family's shared exact top-6 relation (exact ranks
+    # ≤ TOP_K are identical to an exact top-TOP_K run), one neighbor join
+    # per session instead of one per query
+    from .metrics import N_NEIGHBORS
+
+    nn = cached_exact_topk(spark, sf_dir, k=max(TOP_K, N_NEIGHBORS)).filter(
+        F.col("rank") <= TOP_K
+    )
     qa = labels.select(F.col("vec_id"), F.col("label").alias("q_label"))
     nb = labels.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")

@@ -7,22 +7,29 @@ matmul top-k (``sapbert/model/model_wrapper.py:72-133``), and the
 size-based exact-vs-IVF strategy switch (≤10k rows → flat, else IVF,
 ``data_process.py:545-562``).
 
-Two paths, mirroring that switch:
+Two physical paths, mirroring that switch:
 
-* ``cosine_topk`` — brute-force baseline for small dictionaries: the
-  dictionary side is collected and broadcast (same role as a broadcast hash
-  join build side), each partition matmuls its query batch against it in
-  one numpy call inside ``mapInPandas``. Guarded by the G8 switch: above
-  ``BRUTE_FORCE_MAX`` rows it routes to ``ivf_topk`` instead of collecting
-  — the driver-OOM path is unreachable.
-* ``ivf_topk`` — scale path: a deterministic coarse quantizer (the first
-  8 sign bits of the vector, right-shifted to ``bits ≈ log2(√n)`` effective
-  bits → ~√n cells) shards the space; queries multi-probe their home cell
-  plus three Hamming-1 neighbors; scoring is a vectorized numpy matmul per
-  cell in a ``cogroup().applyInPandas`` kernel (the shuffle key IS the IVF
-  cell — exactly how a 1000-executor deployment shards ANN), then a global
+* brute-force — baseline for small dictionaries: the dictionary side is
+  collected and broadcast (same role as a broadcast hash join build side),
+  each partition matmuls its query batch against it in one numpy call
+  inside ``mapInPandas``.
+* IVF — scale path: a deterministic coarse quantizer (the first 8 sign
+  bits of the vector, right-shifted to ``bits ≈ log2(√n)`` effective bits →
+  ~√n cells) shards the space; queries multi-probe their home cell plus
+  three Hamming-1 neighbors; scoring is a vectorized numpy matmul per cell
+  in a ``cogroup().applyInPandas`` kernel (the shuffle key IS the IVF cell
+  — exactly how a 1000-executor deployment shards ANN), then a global
   window top-k merges the per-cell candidates. Candidate pairs never
   materialize as rows; join parallelism = 2^bits grows with n.
+
+Dispatch (G8): ``cosine_topk`` and ``proto_topk`` both switch on dictionary
+size — ≤ ``BRUTE_FORCE_MAX`` rows → broadcast matmul, else the IVF kernel
+(never a driver collect). Their SQL oracles mirror the SAME switch (a
+count-gated UNION of the exact and IVF branches), so Spark↔oracle parity
+holds in both regimes. ``exact_cosine_topk`` is the guaranteed-exact
+variant for bounded evaluation sets (it FAILS above the cap instead of
+silently approximating — the evaluation-metric oracles assume exact
+neighbors).
 """
 
 from __future__ import annotations
@@ -65,43 +72,47 @@ def _cell8_expr(v):
     ).cast("int")
 
 
-def cosine_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
-    """Top-k cosine neighbors for every vector (excluding itself).
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
 
-    Output: (vec_id, neighbor_id, rank) — scores deliberately omitted so
-    the DuckDB oracle comparison is float-representation-proof; ordering is
-    (cosine desc, neighbor_id asc), computed in float64 on both sides.
 
-    G8 size switch: dictionaries over ``BRUTE_FORCE_MAX`` rows route to the
-    IVF path instead of the driver collect (reference:
-    ``data_process.py:545-562`` — IndexFlatIP ≤10k else IndexIVFFlat).
-    """
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    n = emb.count()  # parquet metadata count — no full scan
-    if n > BRUTE_FORCE_MAX:
-        return ivf_topk(spark, sf_dir, k)
+# ---------------------------------------------------------------------------
+# brute-force kernels (broadcast build side, numpy matmul per Arrow batch)
+# ---------------------------------------------------------------------------
 
+
+def _brute_force_topk(emb: DataFrame, k: int, proto: bool = False) -> DataFrame:
+    """Broadcast-dictionary matmul top-k. ``proto=True`` scores each pair
+    as cos(q, name) + cos(q, proto) — the G11 two-score sum (the reference
+    doubles the query ``[v;v]`` against a ``[umls_vec; proto_vec]`` concat
+    space, ``krissbert/model/model.py:173-187``; the prototype here is the
+    deterministic reverse of the embedding, the synthetic stand-in for a
+    second learned vector)."""
+    spark = emb.sparkSession
     rows = emb.select("vec_id", "embedding").collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    unit = mat / norms[:, None]
     b_ids = spark.sparkContext.broadcast(ids)
-    b_unit = spark.sparkContext.broadcast(unit)
+    b_name = spark.sparkContext.broadcast(_unit(mat))
+    b_proto = (
+        spark.sparkContext.broadcast(_unit(mat[:, ::-1])) if proto else None
+    )
 
     def search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dict_ids = b_ids.value
-        dict_unit = b_unit.value
+        name_u = b_name.value
+        proto_u = b_proto.value if proto else None
         for pdf in batches:
-            q = np.array(list(pdf["embedding"]), dtype=np.float64)
-            qn = np.linalg.norm(q, axis=1)
-            qn[qn == 0] = 1.0
-            sims = (q / qn[:, None]) @ dict_unit.T  # (batch, n_dict)
+            q = _unit(np.array(list(pdf["embedding"]), dtype=np.float64))
+            scores = q @ name_u.T
+            if proto:
+                scores = scores + q @ proto_u.T  # two-score sum
             out_rows = []
             for row_i, vid in enumerate(pdf["vec_id"]):
-                s = sims[row_i]
-                # order: cosine desc, neighbor_id asc, self excluded
+                s = scores[row_i]
+                # order: score desc, neighbor_id asc, self excluded
                 order = np.lexsort((dict_ids, -s))
                 picked = 0
                 for j in order:
@@ -113,52 +124,28 @@ def cosine_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
                         break
             yield pd.DataFrame(out_rows, columns=["vec_id", "neighbor_id", "rank"])
 
-    result = emb.select("vec_id", "embedding").mapInPandas(
-        search, "vec_id long, neighbor_id long, rank int"
+    return (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(search, "vec_id long, neighbor_id long, rank int")
+        .orderBy("vec_id", "rank")
     )
-    return result.orderBy("vec_id", "rank")
 
 
-COSINE_TOPK_SQL = f"""
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-pairs AS (
-  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-         list_dot_product(a.v, b.v)
-           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-           AS cos
-  FROM e a, e b
-  WHERE a.vec_id <> b.vec_id
-),
-ranked AS (
-  SELECT vec_id, neighbor_id,
-         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id)
-           AS rank
-  FROM pairs
-)
-SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank
-FROM ranked WHERE rank <= {TOP_K}
-ORDER BY vec_id, rank
-"""
+# ---------------------------------------------------------------------------
+# IVF kernels (cogroup per cell, ~√n cells, Hamming-1 multi-probe)
+# ---------------------------------------------------------------------------
 
 
-def ivf_topk(
-    spark: SparkSession,
-    sf_dir: str,
-    k: int = TOP_K,
-    bits: int | None = None,
-) -> DataFrame:
-    """IVF ANN: ~√n coarse cells from vector sign bits, Hamming-1
-    multi-probe, exact cosine within probed cells via a vectorized numpy
-    matmul per cell (cogroup/applyInPandas), global window top-k merge.
+def _ivf_topk_df(emb: DataFrame, k: int, bits: int, proto: bool = False) -> DataFrame:
+    """IVF ANN over a DataFrame: ~2^bits coarse cells from name-vector sign
+    bits, Hamming-1 multi-probe, exact scoring within probed cells via a
+    vectorized numpy matmul per cell (cogroup/applyInPandas), global window
+    top-k merge. ``proto=True`` scores cos(q, name) + cos(q, proto) per pair
+    — the two-score sum is per-pair math; the cell join is unchanged.
 
     The per-cell kernel emits at most k candidates per (query, cell), so
     the merge input is ≤ len(_PROBE_FLIPS)·k rows per query — constant.
     """
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    if bits is None:
-        bits = _ivf_bits(emb.count())
     v = F.col("embedding").cast("array<double>")
     cell = F.shiftright(_cell8_expr(v), _MAX_CELL_BITS - bits)
     dict_side = emb.select("vec_id", v.alias("v"), cell.alias("cell"))
@@ -177,19 +164,19 @@ def ivf_topk(
             return pd.DataFrame(
                 {"vec_id": pd.Series(dtype="int64"),
                  "neighbor_id": pd.Series(dtype="int64"),
-                 "cos": pd.Series(dtype="float64")}
+                 "score": pd.Series(dtype="float64")}
             )
-        q = np.array(list(qpdf["v"]), dtype=np.float64)
-        d = np.array(list(dpdf["v"]), dtype=np.float64)
-        qn = np.linalg.norm(q, axis=1); qn[qn == 0] = 1.0
-        dn = np.linalg.norm(d, axis=1); dn[dn == 0] = 1.0
-        sims = (q / qn[:, None]) @ (d / dn[:, None]).T
+        q = _unit(np.array(list(qpdf["v"]), dtype=np.float64))
+        d_raw = np.array(list(dpdf["v"]), dtype=np.float64)
+        sims = q @ _unit(d_raw).T
+        if proto:
+            sims = sims + q @ _unit(d_raw[:, ::-1]).T
         qids = qpdf["vec_id"].to_numpy()
         dids = dpdf["vec_id"].to_numpy()
         out = []
         for i, qid in enumerate(qids):
             s = sims[i]
-            order = np.lexsort((dids, -s))  # cos desc, neighbor_id asc
+            order = np.lexsort((dids, -s))  # score desc, neighbor_id asc
             picked = 0
             for j in order:
                 if dids[j] == qid:
@@ -198,22 +185,109 @@ def ivf_topk(
                 picked += 1
                 if picked == k:
                     break
-        return pd.DataFrame(out, columns=["vec_id", "neighbor_id", "cos"])
+        return pd.DataFrame(out, columns=["vec_id", "neighbor_id", "score"])
 
     cand = (
         probes.groupBy("cell")
         .cogroup(dict_side.groupBy("cell"))
-        .applyInPandas(score_cell, "vec_id long, neighbor_id long, cos double")
+        .applyInPandas(score_cell, "vec_id long, neighbor_id long, score double")
     )
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    w = W.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
         .orderBy("vec_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# public entry points
+# ---------------------------------------------------------------------------
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Top-k cosine neighbors for every vector (excluding itself).
+
+    Output: (vec_id, neighbor_id, rank) — scores deliberately omitted so
+    the DuckDB oracle comparison is float-representation-proof; ordering is
+    (cosine desc, neighbor_id asc), computed in float64 on both sides.
+
+    G8 size switch: dictionaries over ``BRUTE_FORCE_MAX`` rows use the IVF
+    kernel instead of the driver collect (reference:
+    ``data_process.py:545-562`` — IndexFlatIP ≤10k else IndexIVFFlat). The
+    SQL oracle mirrors the same switch, so parity holds in both regimes.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()  # parquet metadata count — no full scan
+    if n > BRUTE_FORCE_MAX:
+        return _ivf_topk_df(emb, k, _ivf_bits(n))
+    return _brute_force_topk(emb, k)
+
+
+def exact_cosine_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    fail_above: int = BRUTE_FORCE_MAX,
+) -> DataFrame:
+    """Guaranteed-exact brute-force top-k for bounded evaluation sets.
+
+    The ranked-candidate evaluation family (``operators/metrics.py``) needs
+    EXACT neighbors — its oracles are exact, and the reference likewise
+    brute-forces its eval-time searches (``model_wrapper.py:72-133``). This
+    variant never silently approximates: above ``fail_above`` it raises so
+    the caller chooses (sample the eval set, raise the cap knowingly, or
+    switch to the ANN dispatch ``cosine_topk``).
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    if n > fail_above:
+        raise ValueError(
+            f"exact_cosine_topk over {n} rows exceeds the broadcast cap of "
+            f"{fail_above}; evaluation sets are expected to be bounded — "
+            "sample the set, raise fail_above knowingly, or use the ANN "
+            "dispatch cosine_topk"
+        )
+    return _brute_force_topk(emb, k)
+
+
+_EXACT_TOPK_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def cached_exact_topk(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K
+) -> DataFrame:
+    """Memoized + persisted exact top-k neighbor relation, keyed on
+    (session, sf_dir, k). The ranked-candidate evaluation family
+    (recall/MAP/precision/attribution/chi² + label recall) all consume the
+    same neighbor join — computing it once per session instead of once per
+    query cuts the bench cost of the family ~5×. Entries are small
+    (n_queries × k rows) and bounded by the number of distinct sf_dirs."""
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    df = _EXACT_TOPK_CACHE.get(key)
+    if df is None:
+        df = exact_cosine_topk(spark, sf_dir, k).persist()
+        df.count()  # materialize so consumers share, not recompute
+        _EXACT_TOPK_CACHE[key] = df
+    return df
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    bits: int | None = None,
+    n: int | None = None,
+) -> DataFrame:
+    """IVF ANN entry point. ``n`` (row count) can be passed by callers that
+    already know it, avoiding a duplicate metadata count."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if bits is None:
+        bits = _ivf_bits(n if n is not None else emb.count())
+    return _ivf_topk_df(emb, k, bits)
 
 
 def proto_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
@@ -224,82 +298,23 @@ def proto_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     ``krissbert/model/model.py:173-187``, ``krissbert/evaluate.py:186`` —
     which is exactly two score columns summed; no special geometry).
 
-    The prototype here is the deterministic reverse of the embedding (the
-    synthetic stand-in for a second learned vector); the broadcast matmul
-    kernel computes both cosines in one pass.
+    G8 size switch: same dispatch as ``cosine_topk`` — above
+    ``BRUTE_FORCE_MAX`` the two-score sum is computed inside the IVF
+    cogroup kernel (per-pair math; the cell join is unchanged), so the
+    driver-collect path is unreachable at scale. The oracle mirrors the
+    switch.
     """
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-
-    def unit(m: np.ndarray) -> np.ndarray:
-        n = np.linalg.norm(m, axis=1)
-        n[n == 0] = 1.0
-        return m / n[:, None]
-
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_name = spark.sparkContext.broadcast(unit(mat))
-    b_proto = spark.sparkContext.broadcast(unit(mat[:, ::-1]))
-
-    def search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        dict_ids = b_ids.value
-        name_u = b_name.value
-        proto_u = b_proto.value
-        for pdf in batches:
-            q = unit(np.array(list(pdf["embedding"]), dtype=np.float64))
-            scores = q @ name_u.T + q @ proto_u.T  # two-score sum
-            out_rows = []
-            for row_i, vid in enumerate(pdf["vec_id"]):
-                s = scores[row_i]
-                order = np.lexsort((dict_ids, -s))
-                picked = 0
-                for j in order:
-                    if dict_ids[j] == vid:
-                        continue
-                    picked += 1
-                    out_rows.append((int(vid), int(dict_ids[j]), picked))
-                    if picked == k:
-                        break
-            yield pd.DataFrame(
-                out_rows, columns=["vec_id", "neighbor_id", "rank"]
-            )
-
-    return (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(search, "vec_id long, neighbor_id long, rank int")
-        .orderBy("vec_id", "rank")
-    )
+    n = emb.count()
+    if n > BRUTE_FORCE_MAX:
+        return _ivf_topk_df(emb, k, _ivf_bits(n), proto=True)
+    return _brute_force_topk(emb, k, proto=True)
 
 
-PROTO_TOPK_SQL = f"""
-WITH e AS (
-  SELECT vec_id,
-         CAST(embedding AS DOUBLE[]) AS v,
-         CAST(list_reverse(CAST(embedding AS DOUBLE[])) AS DOUBLE[]) AS p
-  FROM embeddings
-),
-pairs AS (
-  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-         list_dot_product(a.v, b.v)
-           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-         + list_dot_product(a.v, b.p)
-           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.p, b.p)))
-           AS score
-  FROM e a, e b
-  WHERE a.vec_id <> b.vec_id
-),
-ranked AS (
-  SELECT vec_id, neighbor_id,
-         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, neighbor_id)
-           AS rank
-  FROM pairs
-)
-SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank
-FROM ranked WHERE rank <= {TOP_K}
-ORDER BY vec_id, rank
-"""
-
+# ---------------------------------------------------------------------------
+# DuckDB oracles — exact and IVF branches, composed with the same size
+# switch the Spark dispatch uses
+# ---------------------------------------------------------------------------
 
 _CELL8_SQL = " + ".join(
     f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << (7 - i)} ELSE 0 END)"
@@ -307,40 +322,138 @@ _CELL8_SQL = " + ".join(
 )
 _FLIPS_SQL = ", ".join(f"({f})" for f in _PROBE_FLIPS)
 
-IVF_TOPK_SQL = f"""
-WITH params AS (
+# exact branch: all-pairs cosine, ranked (bx_ = brute-force prefix)
+_BX_RANKED_CTE = """
+bx_e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+bx_ranked AS (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, neighbor_id)
+           AS rank
+  FROM (
+    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             AS score
+    FROM bx_e a, bx_e b
+    WHERE a.vec_id <> b.vec_id
+  )
+)
+"""
+
+# exact branch, prototype two-score sum
+_BX_PROTO_RANKED_CTE = """
+bx_e AS (
+  SELECT vec_id,
+         CAST(embedding AS DOUBLE[]) AS v,
+         CAST(list_reverse(CAST(embedding AS DOUBLE[])) AS DOUBLE[]) AS p
+  FROM embeddings
+),
+bx_ranked AS (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, neighbor_id)
+           AS rank
+  FROM (
+    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+           + list_dot_product(a.v, b.p)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.p, b.p)))
+             AS score
+    FROM bx_e a, bx_e b
+    WHERE a.vec_id <> b.vec_id
+  )
+)
+"""
+
+
+def _ix_ranked_cte(proto: bool) -> str:
+    """IVF branch: sign-bit cells + Hamming-1 probes, ranked (ix_ prefix).
+    ``proto`` adds the second cosine to the pair score."""
+    proto_col = (
+        ",\n         CAST(list_reverse(CAST(embedding AS DOUBLE[])) AS DOUBLE[]) AS p"
+        if proto
+        else ""
+    )
+    proto_score = (
+        """
+           + list_dot_product(q.v, d.p)
+             / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(d.p, d.p)))"""
+        if proto
+        else ""
+    )
+    return f"""
+ix_params AS (
   SELECT least(greatest(CAST(floor(log2(sqrt(count(*))) + 0.5) AS INT), 3), 8)
            AS bits
   FROM embeddings
 ),
-e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+ix_e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v{proto_col},
          ({_CELL8_SQL}) AS cell8
   FROM embeddings
 ),
-ec AS (
-  SELECT vec_id, v, cell8 >> ({_MAX_CELL_BITS} - bits) AS cell
-  FROM e, params
+ix_ec AS (
+  SELECT * EXCLUDE (cell8), cell8 >> ({_MAX_CELL_BITS} - bits) AS cell
+  FROM ix_e, ix_params
 ),
-probes AS (
+ix_probes AS (
   SELECT vec_id, v, xor(cell, f.flip) AS cell
-  FROM ec, (VALUES {_FLIPS_SQL}) f(flip)
+  FROM ix_ec, (VALUES {_FLIPS_SQL}) f(flip)
 ),
-pairs AS (
-  SELECT q.vec_id AS vec_id, d.vec_id AS neighbor_id,
-         list_dot_product(q.v, d.v)
-           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(d.v, d.v)))
-           AS cos
-  FROM probes q JOIN ec d USING (cell)
-  WHERE q.vec_id <> d.vec_id
-),
-ranked AS (
+ix_ranked AS (
   SELECT vec_id, neighbor_id,
-         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id)
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, neighbor_id)
            AS rank
-  FROM pairs
+  FROM (
+    SELECT q.vec_id AS vec_id, d.vec_id AS neighbor_id,
+           list_dot_product(q.v, d.v)
+             / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(d.v, d.v))){proto_score}
+             AS score
+    FROM ix_probes q JOIN ix_ec d USING (cell)
+    WHERE q.vec_id <> d.vec_id
+  )
 )
+"""
+
+
+def _switched_sql(
+    exact_cte: str, ivf_cte: str, k: int, switch_at: int = BRUTE_FORCE_MAX
+) -> str:
+    """Compose the G8 dispatch in SQL: a count-gated UNION of the exact and
+    IVF ranked branches (exactly one side produces rows)."""
+    return f"""
+WITH sz AS (SELECT count(*) AS n FROM embeddings),
+{exact_cte.strip().rstrip(",")},
+{ivf_cte.strip().rstrip(",")}
 SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank
-FROM ranked WHERE rank <= {TOP_K}
+FROM bx_ranked
+WHERE rank <= {k} AND (SELECT n FROM sz) <= {switch_at}
+UNION ALL
+SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ix_ranked
+WHERE rank <= {k} AND (SELECT n FROM sz) > {switch_at}
+ORDER BY vec_id, rank
+"""
+
+
+COSINE_TOPK_SQL = _switched_sql(_BX_RANKED_CTE, _ix_ranked_cte(proto=False), TOP_K)
+PROTO_TOPK_SQL = _switched_sql(
+    _BX_PROTO_RANKED_CTE, _ix_ranked_cte(proto=True), TOP_K
+)
+
+# exact-only oracle (for exact_cosine_topk / the evaluation-metric CTEs)
+EXACT_COSINE_TOPK_SQL = f"""
+WITH {_BX_RANKED_CTE.strip()}
+SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM bx_ranked WHERE rank <= {TOP_K}
+ORDER BY vec_id, rank
+"""
+
+IVF_TOPK_SQL = f"""
+WITH {_ix_ranked_cte(proto=False).strip()}
+SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ix_ranked WHERE rank <= {TOP_K}
 ORDER BY vec_id, rank
 """
