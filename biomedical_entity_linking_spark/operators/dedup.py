@@ -441,14 +441,23 @@ ORDER BY doc_a, doc_b
 # embedding-cosine near-dup (IVF-cell-bucketed, no all-pairs)
 # --------------------------------------------------------------------------
 
-# the synthetic embeddings table plants no near-identical vectors (max
-# pairwise cosine ≈ 0.51), so the demo threshold sits at the far tail of
-# the cosine distribution; production near-dup would use ~0.95
-EMB_NEARDUP_THRESHOLD = 0.40
+# production near-dup operating point: cosine ≥ 0.95. The synthetic
+# embeddings table plants no near-identical vectors (max random pairwise
+# cosine ≈ 0.51), and the testdata directory is read-only — so the query
+# plants them IN-FLOW: a deterministic sign-preserving multiplicative
+# perturbation of every 20th vector (weights {0.8..1.2} cycling by dim →
+# planted cosine ≈ 0.99, well above threshold; identical sign pattern →
+# the planted pair ALWAYS co-buckets in its IVF cell). The oracle
+# replicates the same planting, so the green row certifies that the
+# operator finds exactly the planted near-dups at the real threshold.
+EMB_NEARDUP_THRESHOLD = 0.95
+_PLANT_EVERY = 20
+_PLANT_ID_OFFSET = 1_000_000
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine ≥ threshold.
+    """Near-duplicate pairs by embedding cosine ≥ 0.95 over the embeddings
+    table augmented with planted near-identical copies (see above).
 
     Candidate generation reuses the IVF sign-bit quantizer from
     ``operators/similarity.py``: a pair is compared only if the query's
@@ -460,10 +469,22 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _MAX_CELL_BITS, _PROBE_FLIPS, _cell8_expr, _ivf_bits
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    bits = _ivf_bits(emb.count())
     v = F.col("embedding").cast("array<double>")
-    cell = F.shiftright(_cell8_expr(v), _MAX_CELL_BITS - bits)
-    e = emb.select("vec_id", v.alias("v"), cell.alias("cell"))
+    base = emb.select("vec_id", v.alias("v"))
+    # plant: vec_id + offset, v[i] * (1 + 0.1*(i%5 - 2)) — same op order as
+    # the DuckDB oracle so the float64 results are bit-identical
+    planted = base.filter(F.col("vec_id") % _PLANT_EVERY == 0).select(
+        (F.col("vec_id") + _PLANT_ID_OFFSET).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: x
+            * (F.lit(1.0) + F.lit(0.1) * (i % 5 - 2).cast("double")),
+        ).alias("v"),
+    )
+    aug = base.unionByName(planted)
+    bits = _ivf_bits(aug.count())
+    cell = F.shiftright(_cell8_expr(F.col("v")), _MAX_CELL_BITS - bits)
+    e = aug.select("vec_id", "v", cell.alias("cell"))
     probes = e.select(
         "vec_id",
         F.col("v").alias("pv"),
@@ -503,15 +524,28 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBEDDING_NEARDUP_SQL = """
-WITH params AS (
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+),
+aug AS (  -- in-flow planted near-dups (same op order as the Spark side)
+  SELECT vec_id, embedding FROM base
+  UNION ALL
+  SELECT vec_id + __PLANT_OFFSET__ AS vec_id,
+         list_transform(
+           embedding,
+           (x, i) -> x * (1.0 + 0.1 * CAST((i - 1) % 5 - 2 AS DOUBLE))
+         ) AS embedding
+  FROM base WHERE vec_id % __PLANT_EVERY__ = 0
+),
+params AS (
   SELECT least(greatest(CAST(floor(log2(sqrt(count(*))) + 0.5) AS INT), 3), 8)
            AS bits
-  FROM embeddings
+  FROM aug
 ),
 e0 AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+  SELECT vec_id, embedding AS v,
          (__CELL8__) AS cell8
-  FROM embeddings
+  FROM aug
 ),
 e AS (
   SELECT vec_id, v, cell8 >> (8 - bits) AS cell FROM e0, params
@@ -544,6 +578,8 @@ def _finalize_emb_neardup_sql() -> str:
         EMBEDDING_NEARDUP_SQL.replace("__CELL8__", _CELL8_SQL)
         .replace("__FLIPS__", flips)
         .replace("__THRESH__", str(EMB_NEARDUP_THRESHOLD))
+        .replace("__PLANT_OFFSET__", str(_PLANT_ID_OFFSET))
+        .replace("__PLANT_EVERY__", str(_PLANT_EVERY))
     )
 
 
