@@ -22,6 +22,120 @@ def cluster_sizes(labels: DataFrame) -> DataFrame:
     return labels.groupBy("component").agg(F.count("*").alias("size"))
 
 
+def entity_anchored_readoff(
+    labels: DataFrame,
+    node_types: DataFrame,
+    strict: bool = True,
+) -> tuple[DataFrame, dict[str, int]]:
+    """G5 exact semantics: bipartite entity/mention cluster readoff with
+    the reference's cluster invariants
+    (``eval_cluster_linking.py:149-257``).
+
+    The reference indexes entities ``0..n_entities-1`` and mentions after,
+    so "``cluster[0]`` is the entity" is index arithmetic (``:188-196``);
+    distributed node ids aren't ordered that way, so the entity flag is
+    explicit and the prediction is the MINIMUM entity node of each
+    component — the same node the reference picks whenever its invariants
+    hold.
+
+    ``labels``: (node, component) — e.g. ``connected_components`` output
+    (rename ``url`` → ``node``). ``node_types``: (node, is_entity).
+
+    Returns ``(assignments, invariants)``:
+
+    * ``assignments`` — one row per MENTION in a size-≥2 component that
+      contains an entity: (node, component, predicted_entity).
+    * ``invariants`` — the reference's sanity counters (asserted zero at
+      ``:253-255``): ``clusters_wo_entity``, ``clusters_multi_entity``,
+      plus ``n_clusters`` (size ≥ 2, ``:136-144``) and
+      ``n_mentions_labeled``. ``strict=True`` raises on violation exactly
+      like the reference's asserts; ``strict=False`` surfaces them as
+      lineage counters (a web-scale run reports rather than dies).
+    """
+    typed = labels.join(node_types.select("node", "is_entity"), "node")
+    comp = typed.groupBy("component").agg(
+        F.count("*").alias("size"),
+        F.sum(F.col("is_entity").cast("int")).alias("n_entities"),
+        F.min(F.when(F.col("is_entity"), F.col("node"))).alias(
+            "predicted_entity"
+        ),
+    )
+    clusters = comp.filter(F.col("size") >= 2)
+    stats = clusters.agg(
+        F.count("*").alias("n_clusters"),
+        F.sum(F.when(F.col("n_entities") == 0, 1).otherwise(0)).alias("wo"),
+        F.sum(F.when(F.col("n_entities") > 1, 1).otherwise(0)).alias("multi"),
+    ).collect()[0]
+    assignments = (
+        typed.filter(~F.col("is_entity"))
+        .join(
+            clusters.filter(F.col("n_entities") >= 1).select(
+                "component", "predicted_entity"
+            ),
+            "component",
+        )
+        .select("node", "component", "predicted_entity")
+    )
+    invariants = {
+        "n_clusters": int(stats["n_clusters"] or 0),
+        "clusters_wo_entity": int(stats["wo"] or 0),
+        "clusters_multi_entity": int(stats["multi"] or 0),
+        "n_mentions_labeled": int(assignments.count()),
+    }
+    if strict:
+        # the reference's asserts (eval_cluster_linking.py:253-255)
+        if invariants["clusters_wo_entity"] != 0:
+            raise AssertionError(
+                f"{invariants['clusters_wo_entity']} cluster(s) contain no "
+                "entity node (reference asserts _debug_clusters_wo_entities"
+                " == 0)"
+            )
+        if invariants["clusters_multi_entity"] != 0:
+            raise AssertionError(
+                f"{invariants['clusters_multi_entity']} cluster(s) contain "
+                ">1 entity node (reference asserts "
+                "_debug_clusters_w_mult_entities == 0)"
+            )
+    return assignments, invariants
+
+
+def entity_cluster_accuracy(
+    assignments: DataFrame,
+    mention_gold: DataFrame,
+    entity_cuis: DataFrame,
+) -> dict[str, float]:
+    """Reference accuracy over entity-anchored assignments: a mention is
+    correct when its gold CUI set intersects the predicted entity's CUI
+    (``eval_cluster_linking.py:236-246`` — ``set.isdisjoint`` negated; one
+    mention can carry several gold CUIs, ``:222-225``).
+
+    ``mention_gold``: (node, gold_cuis array<string>);
+    ``entity_cuis``: (node, cui)."""
+    pred = entity_cuis.select(
+        F.col("node").alias("predicted_entity"), F.col("cui").alias("pred_cui")
+    )
+    scored = (
+        assignments.join(mention_gold, "node")
+        .join(pred, "predicted_entity")
+        .select(
+            F.array_contains(F.col("gold_cuis"), F.col("pred_cui")).alias(
+                "correct"
+            )
+        )
+    )
+    row = scored.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("correct").cast("int")).alias("ok"),
+    ).collect()[0]
+    n = int(row["n"] or 0)
+    ok = int(row["ok"] or 0)
+    return {
+        "n_evaluated": n,
+        "n_correct": ok,
+        "accuracy": ok / n if n else 0.0,
+    }
+
+
 def label_candidate_pairs(
     candidate_pairs: DataFrame,
     gold_clusters: DataFrame,

@@ -58,6 +58,7 @@ class PipelineConfig:
     # blocklists invalidate the checkpoints they affect
     norm_rules_fp: int | None = None
     vertex_blocklist_fp: int | None = None
+    entity_urls_fp: int | None = None
 
     def fingerprint(self, stage: str) -> str:
         payload = json.dumps(
@@ -147,6 +148,7 @@ def run_pipeline(
     cfg: PipelineConfig,
     norm_rules: DataFrame | None = None,
     vertex_blocklist: DataFrame | None = None,
+    entity_urls: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Full pipeline. Returns the stage DataFrames (all checkpointed).
 
@@ -158,7 +160,16 @@ def run_pipeline(
     ``vertex_blocklist``: optional (url) table of pages excluded from
     clustering — edges touching them are anti-joined away before CC (the
     reference's excluded-vertex set, ``special_partition.pyx:373-375``);
-    blocklisted pages come out as singletons."""
+    blocklisted pages come out as singletons.
+
+    ``entity_urls``: optional (url) table marking canonical/entity pages —
+    the bipartite node typing of the reference's entity-mention joint graph
+    (``eval_cluster_linking.py:149-257``). When given, each component's
+    label is read off its minimum-rid ENTITY member (G5 exact semantics;
+    min-rid member is the fallback for entity-less components), and the
+    clusters manifest carries the reference's cluster invariants
+    (clusters_wo_entity / clusters_multi_entity, asserted zero at
+    ``:253-255``) as lineage counters."""
     # fingerprint on a COPY: mutating the caller's cfg would make a later
     # run that omits norm_rules/vertex_blocklist silently reuse checkpoints
     # fingerprinted with the stale side-table hash (the fields are also
@@ -188,6 +199,16 @@ def run_pipeline(
                 or 0
             )
             if vertex_blocklist is not None
+            else None
+        ),
+        entity_urls_fp=(
+            int(
+                entity_urls.agg(
+                    F.bit_xor(F.xxhash64("url")).alias("fp")
+                ).first()["fp"]
+                or 0
+            )
+            if entity_urls is not None
             else None
         ),
     )
@@ -306,7 +327,8 @@ def run_pipeline(
         # CC runs entirely in rid space (8-byte shuffle keys); labels map
         # back to urls only at the final readoff. Component label = url of
         # the member with the smallest rid (deterministic canonical
-        # representative, G5 analog).
+        # representative, G5 analog) — or, when entity_urls is given, the
+        # smallest ENTITY rid (G5 exact bipartite semantics).
         labels, iterations = connected_components(
             edges, src="rid_a", dst="rid_b"
         )
@@ -319,13 +341,52 @@ def run_pipeline(
             .join(rid_labels, "rid", "left")
             .withColumn("comp_rid", F.coalesce("comp_rid", "rid"))
         )
+        if entity_urls is not None:
+            from .operators.clusters import entity_anchored_readoff
+
+            ent = entity_urls.select(
+                F.xxhash64("url").alias("rid"), F.lit(True).alias("is_entity")
+            ).dropDuplicates(["rid"])
+            membership = base.join(ent, "rid", "left").withColumn(
+                "is_entity", F.coalesce("is_entity", F.lit(False))
+            )
+            _, inv = entity_anchored_readoff(
+                membership.select(
+                    F.col("rid").alias("node"),
+                    F.col("comp_rid").alias("component"),
+                ),
+                membership.select(
+                    F.col("rid").alias("node"), "is_entity"
+                ),
+                strict=False,  # surfaced as manifest counters, not a crash
+            )
+            cc_meta["entity_invariants"] = inv
+            comp_anchor = (
+                membership.filter(F.col("is_entity"))
+                .groupBy("comp_rid")
+                .agg(F.min("rid").alias("ent_rid"))
+            )
+            base = base.join(comp_anchor, "comp_rid", "left").withColumn(
+                "anchor_rid", F.coalesce("ent_rid", "comp_rid")
+            )
+        else:
+            base = base.withColumn("anchor_rid", F.col("comp_rid"))
         comp_url = records.select(
-            F.col("rid").alias("comp_rid"), F.col("url").alias("component")
+            F.col("rid").alias("anchor_rid"), F.col("url").alias("component")
         )
-        return base.join(comp_url, "comp_rid").select("url", "component")
+        return base.join(comp_url, "anchor_rid").select("url", "component")
 
     clusters = runner.run_stage(
-        "clusters", _cc, extra_fn=lambda: {"cc_iterations": cc_meta.get("iterations")}
+        "clusters",
+        _cc,
+        extra_fn=lambda: {
+            "cc_iterations": cc_meta.get("iterations"),
+            **(
+                {"entity_invariants": cc_meta["entity_invariants"]}
+                if "entity_invariants" in cc_meta
+                else {}
+            ),
+        },
     )
 
     # external url-space view of the rid-keyed pairs checkpoint (the
