@@ -1,0 +1,221 @@
+"""O4/G2/G3 exact mode: the reference's ascending-weight greedy graph
+partitioner, re-expressed as a per-component ``applyInPandas`` pass.
+
+Reference semantics (``bioel/bioel/models/arboel/biencoder/model/
+special_partition/special_partition.pyx``):
+
+* ``cluster_linking_partition`` (``:357-442``) — dedup (row, col) pairs,
+  drop excluded vertices, drop sub-threshold edges; for UNDIRECTED graphs
+  pre-sparsify with a maximum spanning tree (scipy MST over negated
+  similarities, ``:389-396``); order the surviving edges by ASCENDING
+  similarity (``:427``).
+* ``special_partition`` (``:288-354``) — walk the edges in that order;
+  tentatively drop each edge (both directions when undirected); keep it
+  dropped iff an entity node remains reachable from the row endpoint (and
+  from the column endpoint when undirected) in the current remaining
+  graph; otherwise restore it.
+
+The result: every mention keeps a path to at least one entity, the
+weakest redundant edges go first, and (for graphs where every component
+contains an entity) each final component contains exactly one entity —
+the invariant ``eval_cluster_linking.py:253-255`` asserts.
+
+Spark-first shape: the pass is inherently sequential PER COMPONENT but
+embarrassingly parallel ACROSS components — after thresholding, real
+joint graphs decompose into many small components (that is the point of
+the partitioner). So: connected components (distributed) label every
+edge, edges shuffle once on the component key, and the sequential
+MST+greedy runs inside ``applyInPandas`` per component — the same
+decomposition the reference gets implicitly from its single-process
+loop, minus the single process. A size cap turns a degenerate giant
+component into a clear error instead of a straggler task.
+
+Declared divergences (deterministic, documented): edge ties in both the
+MST and the ascending walk break on (weight, src, dst) here vs. input
+order in the reference; the reference's ``dfs`` flag only changes its
+traversal order (not the kept set) and has no analog here.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .connected_components import connected_components
+
+# per-component edge cap: the greedy pass is O(E * component_diameter);
+# a component this big means thresholding upstream failed, not that we
+# should grind through it sequentially
+MAX_COMPONENT_EDGES = 2_000_000
+
+
+# ---------------------------------------------------------------------------
+# sequential per-component kernels (pure python/numpy — small components)
+# ---------------------------------------------------------------------------
+
+
+def _max_spanning_forest(
+    edges: list[tuple[int, int, float]]
+) -> list[tuple[int, int, float]]:
+    """Kruskal maximum spanning forest (the reference's
+    ``minimum_spanning_tree(-data)``, ``:389-392``); ties break on
+    (src, dst) for determinism."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    kept = []
+    for u, v, w in sorted(edges, key=lambda e: (-e[2], e[0], e[1])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            kept.append((u, v, w))
+    return kept
+
+
+def _entity_reachable(
+    start: int, adj: dict[int, set[int]], entities: set[int]
+) -> bool:
+    """BFS entity check (``_has_entity_in_component``; the start node
+    itself counts, matching the reference's frontier initialization)."""
+    if start in entities:
+        return True
+    seen = {start}
+    frontier = [start]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v in entities:
+                    return True
+                if v not in seen:
+                    seen.add(v)
+                    nxt.append(v)
+        frontier = nxt
+    return False
+
+
+def _greedy_partition_component(
+    edges: list[tuple[int, int, float]],
+    entities: set[int],
+    directed: bool,
+) -> list[tuple[int, int, float]]:
+    """The ``special_partition`` loop for one component: ascending-weight
+    tentative drops with entity-reachability restore (``:313-352``)."""
+    if not directed:
+        edges = _max_spanning_forest(edges)
+    adj: dict[int, set[int]] = {}
+    for u, v, _ in edges:
+        adj.setdefault(u, set()).add(v)
+        if not directed:
+            adj.setdefault(v, set()).add(u)
+    kept = {(u, v) for u, v, _ in edges}
+    for u, v, _w in sorted(edges, key=lambda e: (e[2], e[0], e[1])):
+        # tentative drop (both directions when undirected, :327-337)
+        adj[u].discard(v)
+        if not directed:
+            adj[v].discard(u)
+        ok = _entity_reachable(u, adj, entities) and (
+            directed or _entity_reachable(v, adj, entities)
+        )
+        if ok:
+            kept.discard((u, v))
+        else:  # restore (:345-352)
+            adj[u].add(v)
+            if not directed:
+                adj[v].add(u)
+    return [(u, v, w) for u, v, w in edges if (u, v) in kept]
+
+
+# ---------------------------------------------------------------------------
+# distributed operator
+# ---------------------------------------------------------------------------
+
+
+def greedy_entity_partition(
+    edges: DataFrame,
+    entity_nodes: DataFrame,
+    src: str = "rid_a",
+    dst: str = "rid_b",
+    weight: str = "weight",
+    directed: bool = False,
+    max_component_edges: int = MAX_COMPONENT_EDGES,
+) -> DataFrame:
+    """Exact-mode sparsifier: reference greedy semantics, parallel across
+    components. Returns the kept edges (same src/dst/weight columns).
+
+    ``entity_nodes``: one-column DataFrame of entity node ids (same id
+    space as src/dst). Components without any entity keep their spanning
+    forest intact (every drop fails the reachability check), exactly like
+    the reference."""
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("double").alias("weight"),
+    ).dropDuplicates(["src", "dst"])  # reference dedup, :367-371
+    ent_col = entity_nodes.columns[0]
+    ent = entity_nodes.select(F.col(ent_col).alias("node")).dropDuplicates(
+        ["node"]
+    )
+
+    # group interacting edges: weakly-connected components over the edge set
+    labels, _ = connected_components(e, src="src", dst="dst")
+    comp = labels.withColumnRenamed("url", "node")
+    e = (
+        e.join(
+            comp.select(
+                F.col("node").alias("src"), F.col("component").alias("comp")
+            ),
+            "src",
+        )
+    )
+    # entity flags attach per endpoint (the kernel needs the set per group;
+    # flags on edges avoid shipping a global entity table to every task)
+    fa = ent.select(F.col("node").alias("src"), F.lit(True).alias("src_ent"))
+    fb = ent.select(F.col("node").alias("dst"), F.lit(True).alias("dst_ent"))
+    e = (
+        e.join(fa, "src", "left")
+        .join(fb, "dst", "left")
+        .fillna(False, subset=["src_ent", "dst_ent"])
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_component_edges:
+            raise ValueError(
+                f"component with {len(pdf)} edges exceeds the sequential-"
+                f"partition cap of {max_component_edges}; raise the edge "
+                "threshold upstream (the greedy pass is per-component "
+                "sequential by design)"
+            )
+        ents: set[int] = set(
+            pdf.loc[pdf["src_ent"], "src"].tolist()
+            + pdf.loc[pdf["dst_ent"], "dst"].tolist()
+        )
+        triples = list(
+            zip(
+                pdf["src"].tolist(),
+                pdf["dst"].tolist(),
+                pdf["weight"].tolist(),
+            )
+        )
+        kept = _greedy_partition_component(triples, ents, directed)
+        return pd.DataFrame(kept, columns=["src", "dst", "weight"])
+
+    out = e.groupBy("comp").applyInPandas(
+        run, "src long, dst long, weight double"
+    )
+    return out.select(
+        F.col("src").alias(src),
+        F.col("dst").alias(dst),
+        F.col("weight").alias(weight),
+    )

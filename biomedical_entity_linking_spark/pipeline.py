@@ -50,6 +50,10 @@ class PipelineConfig:
     snm_window: int = 2
     max_block_size: int = 64
     threshold: float = DEFAULT_THRESHOLD
+    # "threshold_cc" (default, SURVEY §7 divergence) or "greedy_exact" —
+    # the reference's MST + ascending-weight greedy partitioner
+    # (special_partition.pyx:288-442) run per component before CC
+    sparsifier: str = "threshold_cc"
     weights: dict = field(
         default_factory=lambda: {"jw": 0.30, "tslev": 0.25, "cosine": 0.45}
     )
@@ -320,6 +324,22 @@ def run_pipeline(
         edges = exclude_vertices(
             edges, bl_rids, src="rid_a", dst="rid_b", vertex_col="rid"
         )
+
+    if cfg.sparsifier == "greedy_exact":
+        # exact-mode sparsifier (O4/G2/G3): per-component MST + greedy
+        # ascending-weight pass; with no entity set every component keeps
+        # its spanning forest (connectivity — and therefore the clusters —
+        # unchanged vs threshold_cc)
+        from .operators.sparsify import greedy_entity_partition
+
+        ent_rids = (
+            entity_urls.select(F.xxhash64("url").alias("rid"))
+            if entity_urls is not None
+            else spark.createDataFrame([], "rid long")
+        )
+        edges = greedy_entity_partition(edges, ent_rids)
+    elif cfg.sparsifier != "threshold_cc":
+        raise ValueError(f"unknown sparsifier: {cfg.sparsifier!r}")
 
     cc_meta: dict = {}
 
