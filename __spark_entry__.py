@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from biomedical_entity_linking_spark.operators import dedup as D
 from biomedical_entity_linking_spark.operators import evaluation as EV
+from biomedical_entity_linking_spark.operators import ladder as LD
 from biomedical_entity_linking_spark.operators import mentions as MN
 from biomedical_entity_linking_spark.operators import multimodal as MM
 from biomedical_entity_linking_spark.operators import metrics as MT
@@ -459,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": SIM.ivf_topk,
         "proto_topk": SIM.proto_topk,
         "knn_label_recall": EV.knn_label_recall,
+        "ladder_graphs": LD.ladder_graphs,
         "recall_modes": MT.recall_modes,
         "map_at_k": MT.map_at_k,
         "precision_at_k": MT.precision_at_k,
@@ -503,6 +505,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": SIM.IVF_TOPK_SQL,
         "proto_topk": SIM.PROTO_TOPK_SQL,
         "knn_label_recall": EV.KNN_LABEL_RECALL_SQL,
+        "ladder_graphs": LD.LADDER_GRAPHS_SQL,
         "recall_modes": MT.RECALL_MODES_SQL,
         "map_at_k": MT.MAP_AT_K_SQL,
         "precision_at_k": MT.PRECISION_AT_K_SQL,
