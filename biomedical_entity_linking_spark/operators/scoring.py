@@ -127,10 +127,17 @@ def build_features(records: DataFrame) -> DataFrame:
     and the embedding UDF is CPU-bound — spread it across all workers.
     """
     n_parts = int(records.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return records.repartition(n_parts).select(
-        "rid",
-        "norm_title",
-        embed_udf()(F.col("extracted_text")).alias("embedding"),
+    # project BEFORE the round-robin repartition: the shuffle then ships
+    # only (rid, norm_title, extracted_text), not the full record row —
+    # shuffle bytes are the non-scaling cost on a single box
+    return (
+        records.select("rid", "norm_title", "extracted_text")
+        .repartition(n_parts)
+        .select(
+            "rid",
+            "norm_title",
+            embed_udf()(F.col("extracted_text")).alias("embedding"),
+        )
     )
 
 
@@ -174,12 +181,19 @@ def score_pairs(
     # to spread the UDF across all workers (otherwise the whole stage lands
     # on 1-2 post-shuffle partitions and serializes).
     n_parts = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    joined = pairs.join(fa, "rid_a").join(fb, "rid_b").repartition(n_parts)
-    # cosine in JVM (embeddings are unit vectors → dot product); arrays are
-    # dropped BEFORE the Python boundary
-    with_cos = joined.withColumn(
-        "cosine", _cosine_expr(F.col("emb_a"), F.col("emb_b"))
-    ).select("rid_a", "rid_b", "title_a", "title_b", "cosine")
+    joined = pairs.join(fa, "rid_a").join(fb, "rid_b")
+    # cosine in JVM (embeddings are unit vectors → dot product) BEFORE the
+    # round-robin repartition: the embedding arrays are consumed and
+    # dropped where the join produced them, so the spreading shuffle ships
+    # ~90 B/pair (ids + titles + one double) instead of ~220 B — and the
+    # arrays never reach the Python boundary either
+    with_cos = (
+        joined.withColumn(
+            "cosine", _cosine_expr(F.col("emb_a"), F.col("emb_b"))
+        )
+        .select("rid_a", "rid_b", "title_a", "title_b", "cosine")
+        .repartition(n_parts)
+    )
 
     if prune_threshold is not None:
         # minimum cosine at which the combined score can still reach the

@@ -109,7 +109,11 @@ class StageRunner:
             os.remove(manifest)
         if os.path.exists(table):
             shutil.rmtree(table)
-        df.write.mode("overwrite").parquet(table)
+        # zstd: checkpoint volume is the pipeline's main NON-scaling cost
+        # (write bandwidth is fixed per box while compute scales with
+        # cores) — zstd trades ~2x fewer bytes through the disk/memory bus
+        # for per-task compression CPU, which DOES scale with cores
+        df.write.mode("overwrite").option("compression", "zstd").parquet(table)
         out = self.spark.read.parquet(table)
         # per-partition lineage from parquet footers (one output file per
         # write partition) — driver-side metadata reads, no extra Spark job
@@ -141,9 +145,63 @@ class StageRunner:
             with open(manifest) as f:
                 self.counters[stage] = json.load(f)["counters"]
             return self.read(stage)
+        import time
+
+        t0 = time.time()
         df = fn()
-        extra = extra_fn() if extra_fn else None
-        return self.commit(stage, df, extra)
+        extra = dict(extra_fn() if extra_fn else {})
+        out = self.commit(stage, df, extra)
+        # per-stage wall (compute + checkpoint write) — scaling evidence
+        self.counters[stage]["wall_sec"] = round(time.time() - t0, 2)
+        return out
+
+    def run_stage_async(self, stage: str, fn, extra_fn=None):
+        """Like run_stage, but the checkpoint WRITE happens on a background
+        thread while the caller consumes the persisted in-memory result —
+        the write leaves the critical path (it is bandwidth-bound and does
+        not scale with cores; downstream compute does). Crash-safety is
+        unchanged: the manifest is only written when the table is complete,
+        so an interrupted run simply recomputes the stage on resume.
+
+        Returns (df, finalize): ``df`` is the persisted stage output to
+        consume NOW; ``finalize()`` joins the writer, records counters, and
+        returns the checkpoint-backed DataFrame (callers should expose THAT
+        one, then the cache is released)."""
+        if self.has_checkpoint(stage):
+            _, manifest = self._paths(stage)
+            with open(manifest) as f:
+                self.counters[stage] = json.load(f)["counters"]
+            df = self.read(stage)
+            return df, lambda: df
+        import threading
+        import time
+
+        t0 = time.time()
+        df = fn().persist()
+        result: dict = {}
+
+        def _write() -> None:
+            try:
+                result["out"] = self.commit(
+                    stage, df, dict(extra_fn() if extra_fn else {})
+                )
+                self.counters[stage]["wall_sec"] = round(time.time() - t0, 2)
+            except BaseException as e:  # surfaced in finalize()
+                result["err"] = e
+
+        th = threading.Thread(
+            target=_write, name=f"checkpoint-{stage}", daemon=True
+        )
+        th.start()
+
+        def finalize() -> DataFrame:
+            th.join()
+            df.unpersist()
+            if "err" in result:
+                raise result["err"]
+            return result["out"]
+
+        return df, finalize
 
 
 def run_pipeline(
@@ -218,7 +276,12 @@ def run_pipeline(
     )
     runner = StageRunner(spark, cfg)
 
-    records = runner.run_stage(
+    # extract: the checkpoint write runs on a background thread (zstd to
+    # the work dir) while blocking/features consume the persisted rows —
+    # the write is bandwidth-bound (non-scaling) and was the worst stage in
+    # the 4→16 per-stage scaling profile (0.51); off the critical path it
+    # overlaps the CPU-bound stages that DO scale
+    records, _finalize_extract = runner.run_stage_async(
         "extract",
         lambda: run_extract(pages, cfg.lang_filter).select(
             "url",
@@ -408,6 +471,12 @@ def run_pipeline(
             ),
         },
     )
+
+    # join the background extract writer; expose the checkpoint-backed
+    # table (the in-memory copy is released here)
+    extract_table = _finalize_extract()
+    if norm_rules is None:
+        records = extract_table
 
     # external url-space view of the rid-keyed pairs checkpoint (the
     # evaluation API — label_candidate_pairs — speaks urls)

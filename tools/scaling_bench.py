@@ -51,8 +51,11 @@ out = run_pipeline(spark, pages, PipelineConfig(work_dir=wd))
 nc = out["clusters"].count()
 dt = time.time() - t0
 shutil.rmtree(wd, ignore_errors=True)
+walls = {s: c.get("wall_sec") for s, c in out["counters"].items()
+         if isinstance(c, dict) and c.get("wall_sec") is not None}
 print(json.dumps({"cpus": cpus, "pages": n, "clusters": nc,
-                  "sec": round(dt, 2), "docs_per_sec": round(n / dt, 2)}))
+                  "sec": round(dt, 2), "docs_per_sec": round(n / dt, 2),
+                  "stage_walls": walls}))
 """
 
 
