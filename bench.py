@@ -37,6 +37,7 @@ _BENCH_QUERIES = [
     "cosine_topk",
     "ivf_topk",
     "proto_topk",
+    "ladder_graphs",
     "embedding_neardup",
     "recall_modes",
     "mention_spans",

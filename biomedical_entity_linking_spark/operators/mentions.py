@@ -37,7 +37,9 @@ from pyspark.sql import functions as F
 
 SPAN_TOKEN_LEN = 6
 SPAN_LEN = 3
-CTX_WORDS = 8
+# context window: 64 words each side, matching the reference's
+# max_context_length // 2 slice (bigbio_utils.py:302-319)
+CTX_WORDS = 64
 
 def _toks():
     return F.split(F.lower(F.trim(F.col("text"))), r"\s+")

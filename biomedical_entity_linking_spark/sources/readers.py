@@ -187,6 +187,95 @@ def read_jsonl_ontology(spark: SparkSession, path: str) -> DataFrame:
     return df.select("cui", "name", "types", "aliases", "definition", "equivalent_cuis")
 
 
+def load_mesh_via_umls(
+    conso: DataFrame,
+    mrrank: DataFrame,
+    mrdef: DataFrame,
+    mrsty: DataFrame,
+    semgroups: DataFrame,
+    ontology: str = "MSH",
+    prefix: str = "MESH",
+) -> DataFrame:
+    """S2-S5 composition: the reference's ``UmlsMappings`` → ``load_mesh``
+    flow (``bioel/bioel/ontology.py:501-581`` over
+    ``bioel/bioel/utils/umls_utils.py:96-181,183-236,238-295,297-…``) as
+    one declarative plan producing ENTITY_SCHEMA rows:
+
+    * MRCONSO ⋈ MRRANK on (sab, tty) — ``umls_utils.py:168-169`` (the
+      ``-rank+850`` inversion lives in ``read_mrrank``);
+    * ``lang == ENG`` + single-ontology filter
+      (``filter_ontologies_and_types``, ``umls_utils.py:506-513``);
+    * identifier = ``prefix:sdui`` (``mapping_cols={'MSH': 'sdui'}``,
+      ``prefixes={'MSH': 'MESH'}`` — ``ontology.py:521-524``);
+    * canonical name & definition = rank-argmin per identifier
+      (``groupby().rank.idxmin()``, ``umls_utils.py:231-235``; ties break
+      on the value string here — the reference's idxmin takes pandas input
+      order, declared divergence);
+    * aliases = distinct aliases minus the canonical name
+      (``ontology.py:560``), sorted for determinism;
+    * types = the entity's first semantic group
+      (``mesh_to_groups[cui][0]``, ``ontology.py:555``; groups sorted);
+    * duplicate identifiers: the whole flow is keyed aggregation, so the
+      reference's duplicate-CUI warn+skip (``ontology.py:575-577``) is
+      structural.
+
+    ``conso`` columns: (cui, lat, sab, tty, sdui, aui, alias).
+    """
+    from pyspark.sql import Window as W
+
+    base = (
+        conso.join(mrrank.select("sab", "tty", "rank"), ["sab", "tty"])
+        .filter(
+            (F.col("sab") == ontology)
+            & (F.col("lat") == "ENG")
+            & F.col("sdui").isNotNull()
+        )
+        .withColumn("identifier", F.concat(F.lit(prefix + ":"), F.col("sdui")))
+    )
+    w = W.partitionBy("identifier").orderBy("rank", "alias")
+    names = (
+        base.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("identifier", F.col("alias").alias("name"))
+    )
+    aliases = base.groupBy("identifier").agg(
+        F.array_sort(F.collect_set("alias")).alias("all_aliases")
+    )
+    with_defs = attach_definitions(
+        base.select("cui", "aui", "sab", "identifier", "rank"), mrdef
+    ).filter(F.col("definition").isNotNull())
+    wd = W.partitionBy("identifier").orderBy("rank", "definition")
+    defs = (
+        with_defs.withColumn("_r", F.row_number().over(wd))
+        .filter(F.col("_r") == 1)
+        .select("identifier", "definition")
+    )
+    groups = cui_types_groups(mrsty, semgroups)
+    id_cui = base.select("identifier", "cui").dropDuplicates(["identifier", "cui"])
+    types = (
+        id_cui.join(groups, "cui")
+        .groupBy("identifier")
+        .agg(F.array_sort(F.flatten(F.collect_set("sem_groups"))).alias("gs"))
+        .select(
+            "identifier",
+            F.slice(F.col("gs"), 1, 1).alias("types"),
+        )
+    )
+    return (
+        names.join(aliases, "identifier")
+        .join(defs, "identifier", "left")
+        .join(types, "identifier", "left")
+        .select(
+            F.col("identifier").alias("cui"),
+            "name",
+            F.coalesce("types", F.array().cast("array<string>")).alias("types"),
+            F.array_remove(F.col("all_aliases"), F.col("name")).alias("aliases"),
+            "definition",
+            F.lit(None).cast("array<string>").alias("equivalent_cuis"),
+        )
+    )
+
+
 def read_obo(
     spark: SparkSession,
     path: str,

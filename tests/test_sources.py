@@ -200,3 +200,57 @@ def test_mrsty_semgroups_cui_types(spark, tmp_path):
     }
     assert out["C1"] == (["T047", "T191"], ["DISO"])  # groups deduped
     assert out["C2"] == (["T047"], ["DISO"])
+
+
+def test_load_mesh_via_umls(spark):
+    """ontology.py:501-581 composition: canonical name by rank-argmin,
+    prefix:sdui identifiers, aliases minus name, first semantic group."""
+    from biomedical_entity_linking_spark.sources.readers import (
+        load_mesh_via_umls,
+    )
+
+    conso = spark.createDataFrame(
+        [
+            # identifier MESH:D001 — two TTYs with different ranks
+            ("C1", "ENG", "MSH", "MH", "D001", "A1", "Aspirin"),
+            ("C1", "ENG", "MSH", "SY", "D001", "A2", "acetylsalicylic acid"),
+            ("C1", "FRA", "MSH", "MH", "D001", "A3", "aspirine"),  # non-ENG
+            ("C1", "ENG", "OTHER", "MH", "D001", "A4", "other-vocab"),  # sab
+            # identifier MESH:D002
+            ("C2", "ENG", "MSH", "SY", "D002", "A5", "Widgetin"),
+            # no sdui -> excluded
+            ("C3", "ENG", "MSH", "MH", None, "A6", "nameless"),
+        ],
+        "cui string, lat string, sab string, tty string, sdui string, "
+        "aui string, alias string",
+    )
+    # read_mrrank semantics: ALREADY inverted (-rank+850): lower = better
+    mrrank = spark.createDataFrame(
+        [(450, "MSH", "MH"), (650, "MSH", "SY"), (400, "OTHER", "MH")],
+        "rank int, sab string, tty string",
+    )
+    mrdef = spark.createDataFrame(
+        [("C1", "A2", "_", "_", "MSH", "A common NSAID.", "N", None)],
+        "cui string, aui string, atui string, satui string, sab string, "
+        "def_ string, suppress string, cvf string",
+    )
+    mrsty = spark.createDataFrame(
+        [("C1", "T109"), ("C2", "T109")], "cui string, tui string"
+    )
+    semgroups = spark.createDataFrame(
+        [("T109", "CHEM")], "tui string, sem_group string"
+    ).select("tui", "sem_group")
+    out = {
+        r["cui"]: r
+        for r in load_mesh_via_umls(conso, mrrank, mrdef, mrsty, semgroups).collect()
+    }
+    assert set(out) == {"MESH:D001", "MESH:D002"}
+    d1 = out["MESH:D001"]
+    assert d1["name"] == "Aspirin"  # MH outranks SY after inversion
+    assert d1["aliases"] == ["acetylsalicylic acid"]  # name removed
+    assert d1["definition"] == "A common NSAID."
+    assert d1["types"] == ["CHEM"]
+    d2 = out["MESH:D002"]
+    assert d2["name"] == "Widgetin"
+    assert d2["aliases"] == []
+    assert d2["definition"] is None

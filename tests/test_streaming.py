@@ -88,3 +88,66 @@ def test_dedup_recrawls_suppresses_same_url_later_ts(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == 2  # recrawl suppressed
     assert got.filter("url = 'https://a.example/x'").count() == 1
+
+
+def test_crawl_sessions_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: a domain's burst closes once
+    the watermark passes session_end + gap; a second burst after the gap is
+    a separate session. Two drop files force two micro-batches so the
+    watermark advances past the first sessions."""
+    import datetime
+
+    from biomedical_entity_linking_spark.streaming.ingest import (
+        crawl_sessions,
+        stream_pages,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def row(url, minutes):
+        return (url, t0 + datetime.timedelta(minutes=minutes),
+                b"<html>x</html>", "x", "eng")
+
+    # domain a: burst of 3 within 2 min; domain b: single page
+    early = [
+        row("https://a.example/1", 0),
+        row("https://a.example/2", 1),
+        row("https://a.example/3", 2),
+        row("https://b.example/1", 0),
+    ]
+    # far-future page advances the watermark past the early sessions
+    late = [row("https://c.example/1", 24 * 60)]
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    drop_dir = str(tmp_path / "sess_drops")
+    spark.createDataFrame(early, schema).coalesce(1).write.parquet(
+        drop_dir + "/d0"
+    )
+    spark.createDataFrame(late, schema).coalesce(1).write.parquet(
+        drop_dir + "/d1"
+    )
+
+    sessions = crawl_sessions(
+        stream_pages(spark, drop_dir + "/*", max_files_per_trigger=1),
+        gap_seconds=600,
+        watermark="1 minutes",
+    )
+    out_dir = str(tmp_path / "sess_out")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["domain"]: r
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # a.example and b.example sessions closed (c.example still open: the
+    # watermark never passes its timeout — no row for it)
+    assert set(got) == {"a.example", "b.example"}
+    a = got["a.example"]
+    assert a["n_pages"] == 3
+    assert (a["session_end"] - a["session_start"]).total_seconds() == 120
+    assert got["b.example"]["n_pages"] == 1
