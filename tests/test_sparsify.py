@@ -157,3 +157,76 @@ def test_pipeline_exact_mode_splits_on_entities(spark, tmp_path):
     assert comps["https://a.ex.com/p"] != comps["https://b.ex.com/p"]
     inv = out["counters"]["clusters"]["entity_invariants"]
     assert inv["clusters_wo_entity"] == 0
+
+
+class TestGreedyPartitionProperties:
+    """Property checks of the reference's invariants over random graphs
+    (pure-Python kernel — no Spark in the loop)."""
+
+    def _random_graph(self, seed):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        n = rng.randint(3, 12)
+        edges = []
+        seen = set()
+        for _ in range(rng.randint(1, 20)):
+            u, v = rng.randint(0, n, size=2)
+            if u == v:
+                continue
+            key = (min(u, v), max(u, v))
+            if key in seen:
+                continue
+            seen.add(key)
+            edges.append((int(key[0]), int(key[1]), float(rng.rand())))
+        ents = {int(x) for x in rng.choice(n, size=rng.randint(0, n), replace=False)}
+        return edges, ents
+
+    @staticmethod
+    def _reachable(start, adj):
+        seen = {start}
+        frontier = [start]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in seen:
+                        seen.add(v)
+                        nxt.append(v)
+            frontier = nxt
+        return seen
+
+    def test_invariants_over_random_graphs(self):
+        from biomedical_entity_linking_spark.operators.sparsify import (
+            _greedy_partition_component,
+        )
+
+        for seed in range(200):
+            edges, ents = self._random_graph(seed)
+            kept = _greedy_partition_component(list(edges), ents, directed=False)
+            in_set = {(u, v) for u, v, _ in edges}
+            # 1. kept edges come from the input
+            assert all((u, v) in in_set for u, v, _ in kept)
+            adj_in: dict = {}
+            for u, v, _ in edges:
+                adj_in.setdefault(u, set()).add(v)
+                adj_in.setdefault(v, set()).add(u)
+            adj_out: dict = {}
+            for u, v, _ in kept:
+                adj_out.setdefault(u, set()).add(v)
+                adj_out.setdefault(v, set()).add(u)
+            nodes = set(adj_in)
+            for x in nodes:
+                before = bool(self._reachable(x, adj_in) & ents)
+                after = bool(self._reachable(x, adj_out) & ents)
+                # 2. entity reachability is preserved exactly
+                assert before == after, (seed, x)
+            # 3. the reference's post-hoc assertion: no kept component
+            # holds more than one entity (eval_cluster_linking.py:254)
+            comp_seen: set = set()
+            for x in nodes:
+                if x in comp_seen:
+                    continue
+                comp = self._reachable(x, adj_out)
+                comp_seen |= comp
+                assert len(comp & ents) <= 1, (seed, comp)
