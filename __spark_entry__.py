@@ -4,9 +4,11 @@
 deterministic synthetic pages corpus sized for sf0.001. ``queries()`` /
 ``oracle_sql()`` cover the operator inventory from SURVEY.md §2: the ER
 pipeline stages (rows-only — iterative CC is not SQL-expressible), the
-dedup family, text analysis, similarity search, and the relational
-operator-coverage queries (aggregations, joins, windows, set ops) on the
-TPC-H-ish tables.
+dedup family, text analysis, similarity search (G8-dispatched ANN with
+size-switch-mirroring oracles), the k-ladder joint-graph family, the
+ranked-candidate evaluation metrics, mention-surface operators, and the
+relational operator-coverage queries (aggregations, joins, windows, set
+ops) on the TPC-H-ish tables — 39 entries, 38 with DuckDB oracles.
 """
 
 from __future__ import annotations
