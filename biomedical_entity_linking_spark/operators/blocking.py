@@ -83,8 +83,14 @@ def lsh_blocking_keys(
     must spread across workers regardless of input file count."""
     udf = minhash_band_keys_udf(num_perm, bands, rows)
     n_parts = int(records.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # project to (rid, title) BEFORE the round-robin repartition — the
+    # spreading shuffle ships ~50 B/row instead of the full record
+    # (extracted_text included), the same non-scaling-byte cut as in
+    # build_features
     return (
-        records.repartition(n_parts).select("rid", udf(F.col(text_col)).alias("keys"))
+        records.select("rid", F.col(text_col))
+        .repartition(n_parts)
+        .select("rid", udf(F.col(text_col)).alias("keys"))
         .select("rid", F.explode("keys").alias("key"))
         .withColumn("key_kind", F.lit("lsh"))
     )
