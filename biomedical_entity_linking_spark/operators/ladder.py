@@ -12,32 +12,34 @@ reported per k (``:224-240``) — the ladder exists so one kNN search
 amortizes across every k.
 
 Spark-first shape: the two ranked nearest-neighbor relations (mention →
-nearest entity; mention → ranked mention neighbors) are computed ONCE;
-the per-k family is a non-equi join of the mention-neighbor relation
-against the tiny ladder table (``rank <= k`` — Catalyst turns a ≤5-row
-broadcast side into a trivially cheap nested-loop join), and the entity
-edges cross-join the ladder. No k-specific recompute, exactly the
-amortization the reference's loop performs imperatively. Downstream
-consumers slice one k (``.filter(col("k") == v)``) to feed CC
+nearest entity; mention → ranked mention neighbors) are computed ONCE
+through ``similarity.knn_join`` — the ONE G8-dispatched query/dict-sided
+kNN kernel (broadcast matmul ≤ ``BRUTE_FORCE_MAX`` dictionary rows, IVF
+cogroup above; never an unguarded driver collect). The per-k family is a
+non-equi join of the mention-neighbor relation against the tiny ladder
+table (``rank <= k`` — Catalyst turns a ≤5-row broadcast side into a
+trivially cheap nested-loop join), and the entity edges cross-join the
+ladder. No k-specific recompute, exactly the amortization the
+reference's loop performs imperatively. Downstream consumers slice one k
+(``.filter(col("k") == v)``) to feed CC
 (``operators/connected_components``) or the recall ladder
 (``evaluation.py``).
 
 The demo query derives the bipartite split from the embeddings table
-(``vec_id % 4 == 0`` → entity, else mention) and brute-forces the two NN
-relations with the broadcast matmul kernel — at scale the same ladder
-composes over ``ivf_topk``-produced relations instead (the operator takes
-the relations, not the vectors).
+(``vec_id % 4 == 0`` → entity, else mention); its DuckDB oracle is built
+from ``similarity.knn_join_sql`` so it mirrors the SAME size switch per
+relation (gated on each relation's DICTIONARY count) and Spark↔oracle
+parity holds in both regimes.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Iterator
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from . import similarity as sim
 
 MAX_K = 4
 ENT_MOD = 4  # vec_id % ENT_MOD == 0 → entity node (deterministic split)
@@ -82,104 +84,59 @@ def joint_graph_ladder(
     )
 
 
-def _bf_knn(
-    spark: SparkSession,
-    queries: DataFrame,
-    dictionary: DataFrame,
-    k: int,
-    exclude_self: bool,
-) -> DataFrame:
-    """Broadcast-matmul kNN from a query id/vector frame against a
-    dictionary frame (same kernel shape as ``similarity._brute_force_topk``
-    but with distinct query/dict sides). Returns (src, dst, rank)."""
-    rows = dictionary.select("vec_id", "v").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    unit = mat / norms[:, None]
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_unit = spark.sparkContext.broadcast(unit)
-
-    def search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        dict_ids = b_ids.value
-        dict_unit = b_unit.value
-        for pdf in batches:
-            q = np.array(list(pdf["v"]), dtype=np.float64)
-            qn = np.linalg.norm(q, axis=1)
-            qn[qn == 0] = 1.0
-            sims = (q / qn[:, None]) @ dict_unit.T
-            out = []
-            for i, qid in enumerate(pdf["vec_id"]):
-                s = sims[i]
-                order = np.lexsort((dict_ids, -s))
-                picked = 0
-                for j in order:
-                    if exclude_self and dict_ids[j] == qid:
-                        continue
-                    picked += 1
-                    out.append((int(qid), int(dict_ids[j]), picked))
-                    if picked == k:
-                        break
-            yield pd.DataFrame(out, columns=["src", "dst", "rank"])
-
-    return queries.select("vec_id", "v").mapInPandas(
-        search, "src long, dst long, rank int"
-    )
-
-
 def ladder_graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coverage query: the joint graph family over the embeddings table
     with the deterministic entity/mention split (vec_id % 4 == 0 → entity).
-    Output: (k, src, dst, edge_type, rank) for k ∈ [0, 1, 2, 4]."""
+    Output: (k, src, dst, edge_type, rank) for k ∈ [0, 1, 2, 4].
+
+    Both NN relations route through ``similarity.knn_join`` — the shared
+    G8 dispatch — so above ``BRUTE_FORCE_MAX`` dictionary rows the IVF
+    cogroup kernel runs and no driver collect is reachable."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    v = F.col("embedding").cast("array<double>")
-    e = emb.select("vec_id", v.alias("v"))
+    e = sim._vec(emb)
     ents = e.filter(F.col("vec_id") % ENT_MOD == 0)
     ments = e.filter(F.col("vec_id") % ENT_MOD != 0)
-    ment_ent = _bf_knn(spark, ments, ents, k=1, exclude_self=False).select(
+    ment_ent = sim.knn_join(ments, ents, k=1, exclude_self=False).select(
         "src", "dst"
     )
-    ment_ment = _bf_knn(spark, ments, ments, k=MAX_K, exclude_self=True)
+    ment_ment = sim.knn_join(ments, ments, k=MAX_K, exclude_self=True)
     return joint_graph_ladder(ment_ent, ment_ment, MAX_K)
 
 
 _LADDER_VALUES_SQL = ", ".join(f"({k})" for k in knn_ladder(MAX_K))
 
-LADDER_GRAPHS_SQL = f"""
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         vec_id % {ENT_MOD} = 0 AS is_ent
-  FROM embeddings
-),
-me AS (  -- nearest entity per mention
-  SELECT m.vec_id AS src, d.vec_id AS dst,
-         row_number() OVER (
-           PARTITION BY m.vec_id
-           ORDER BY list_dot_product(m.v, d.v)
-                    / (sqrt(list_dot_product(m.v, m.v))
-                       * sqrt(list_dot_product(d.v, d.v))) DESC,
-                    d.vec_id) AS r
-  FROM e m, e d
-  WHERE NOT m.is_ent AND d.is_ent
-  QUALIFY r = 1
-),
-mm AS (  -- ranked mention neighbors, self-excluded
-  SELECT m.vec_id AS src, d.vec_id AS dst,
-         row_number() OVER (
-           PARTITION BY m.vec_id
-           ORDER BY list_dot_product(m.v, d.v)
-                    / (sqrt(list_dot_product(m.v, m.v))
-                       * sqrt(list_dot_product(d.v, d.v))) DESC,
-                    d.vec_id) AS r
-  FROM e m, e d
-  WHERE NOT m.is_ent AND NOT d.is_ent AND m.vec_id <> d.vec_id
-  QUALIFY r <= {MAX_K}
-),
+
+def ladder_graphs_sql(switch_at: int = sim.BRUTE_FORCE_MAX) -> str:
+    """DuckDB oracle for ``ladder_graphs``: the two NN relations come from
+    ``similarity.knn_join_sql`` with the SAME per-relation size switch the
+    Spark dispatch applies (me gated on the entity count, mm on the
+    mention count)."""
+    me = sim.knn_join_sql(
+        "me",
+        query_where=f"vec_id % {ENT_MOD} <> 0",
+        dict_where=f"vec_id % {ENT_MOD} = 0",
+        k=1,
+        exclude_self=False,
+        switch_at=switch_at,
+    )
+    mm = sim.knn_join_sql(
+        "mm",
+        query_where=f"vec_id % {ENT_MOD} <> 0",
+        dict_where=f"vec_id % {ENT_MOD} <> 0",
+        k=MAX_K,
+        exclude_self=True,
+        switch_at=switch_at,
+    )
+    return f"""
+WITH {me.strip().lstrip(",")},
+{mm.strip().lstrip(",")},
 ks AS (SELECT * FROM (VALUES {_LADDER_VALUES_SQL}) t(k))
 SELECT k, src, dst, 'entity' AS edge_type, 0 AS rank FROM me, ks
 UNION ALL
-SELECT k, src, dst, 'mention' AS edge_type, CAST(r AS INT) AS rank
-FROM mm JOIN ks ON mm.r <= ks.k
+SELECT k, src, dst, 'mention' AS edge_type, CAST(mm.rank AS INT) AS rank
+FROM mm JOIN ks ON mm.rank <= ks.k
 ORDER BY k, src, rank, dst
 """
+
+
+LADDER_GRAPHS_SQL = ladder_graphs_sql()

@@ -22,14 +22,17 @@ Two physical paths, mirroring that switch:
   window top-k merges the per-cell candidates. Candidate pairs never
   materialize as rows; join parallelism = 2^bits grows with n.
 
-Dispatch (G8): ``cosine_topk`` and ``proto_topk`` both switch on dictionary
-size — ≤ ``BRUTE_FORCE_MAX`` rows → broadcast matmul, else the IVF kernel
-(never a driver collect). Their SQL oracles mirror the SAME switch (a
-count-gated UNION of the exact and IVF branches), so Spark↔oracle parity
-holds in both regimes. ``exact_cosine_topk`` is the guaranteed-exact
-variant for bounded evaluation sets (it FAILS above the cap instead of
-silently approximating — the evaluation-metric oracles assume exact
-neighbors).
+Dispatch (G8): ``knn_join`` is THE single query/dict-sided kNN dispatch —
+≤ ``BRUTE_FORCE_MAX`` dictionary rows → broadcast matmul, else the IVF
+kernel (never a driver collect). Every consumer (``cosine_topk``,
+``proto_topk``, the k-ladder's mention→entity / mention→mention relations
+in ``operators/ladder.py``, and any future operator) routes through it
+instead of hand-rolling a collect; ``knn_join_sql`` emits the matching
+count-gated DuckDB CTE so every consumer's oracle mirrors the SAME
+switch and Spark↔oracle parity holds in both regimes.
+``exact_cosine_topk`` is the guaranteed-exact variant for bounded
+evaluation sets (it FAILS above the cap instead of silently
+approximating — the evaluation-metric oracles assume exact neighbors).
 """
 
 from __future__ import annotations
@@ -79,21 +82,38 @@ def _unit(m: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# brute-force kernels (broadcast build side, numpy matmul per Arrow batch)
+# the ONE query/dict-sided kNN dispatch + its two kernels
 # ---------------------------------------------------------------------------
 
 
-def _brute_force_topk(emb: DataFrame, k: int, proto: bool = False) -> DataFrame:
-    """Broadcast-dictionary matmul top-k. ``proto=True`` scores each pair
-    as cos(q, name) + cos(q, proto) — the G11 two-score sum (the reference
-    doubles the query ``[v;v]`` against a ``[umls_vec; proto_vec]`` concat
-    space, ``krissbert/model/model.py:173-187``; the prototype here is the
-    deterministic reverse of the embedding, the synthetic stand-in for a
-    second learned vector)."""
-    spark = emb.sparkSession
-    rows = emb.select("vec_id", "embedding").collect()
+def _vec(emb: DataFrame) -> DataFrame:
+    """Normalize an embeddings frame to the kernel contract (vec_id, v)."""
+    return emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def _bf_knn(
+    queries: DataFrame,
+    dictionary: DataFrame,
+    k: int,
+    *,
+    exclude_self: bool,
+    proto: bool = False,
+) -> DataFrame:
+    """Broadcast-dictionary matmul top-k (src, dst, rank). The dictionary
+    side is collected and broadcast (same role as a broadcast hash join
+    build side) — ONLY reachable through ``knn_join``'s size guard or the
+    explicitly-capped ``exact_cosine_topk``. ``proto=True`` scores each
+    pair as cos(q, name) + cos(q, proto) — the G11 two-score sum (the
+    reference doubles the query ``[v;v]`` against a ``[umls_vec;
+    proto_vec]`` concat space, ``krissbert/model/model.py:173-187``; the
+    prototype here is the deterministic reverse of the embedding, the
+    synthetic stand-in for a second learned vector)."""
+    spark = dictionary.sparkSession
+    rows = dictionary.select("vec_id", "v").collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
     b_ids = spark.sparkContext.broadcast(ids)
     b_name = spark.sparkContext.broadcast(_unit(mat))
     b_proto = (
@@ -105,51 +125,52 @@ def _brute_force_topk(emb: DataFrame, k: int, proto: bool = False) -> DataFrame:
         name_u = b_name.value
         proto_u = b_proto.value if proto else None
         for pdf in batches:
-            q = _unit(np.array(list(pdf["embedding"]), dtype=np.float64))
+            q = _unit(np.array(list(pdf["v"]), dtype=np.float64))
             scores = q @ name_u.T
             if proto:
                 scores = scores + q @ proto_u.T  # two-score sum
             out_rows = []
             for row_i, vid in enumerate(pdf["vec_id"]):
                 s = scores[row_i]
-                # order: score desc, neighbor_id asc, self excluded
+                # order: score desc, neighbor_id asc, self optionally excluded
                 order = np.lexsort((dict_ids, -s))
                 picked = 0
                 for j in order:
-                    if dict_ids[j] == vid:
+                    if exclude_self and dict_ids[j] == vid:
                         continue
                     picked += 1
                     out_rows.append((int(vid), int(dict_ids[j]), picked))
                     if picked == k:
                         break
-            yield pd.DataFrame(out_rows, columns=["vec_id", "neighbor_id", "rank"])
+            yield pd.DataFrame(out_rows, columns=["src", "dst", "rank"])
 
-    return (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(search, "vec_id long, neighbor_id long, rank int")
-        .orderBy("vec_id", "rank")
+    return queries.select("vec_id", "v").mapInPandas(
+        search, "src long, dst long, rank int"
     )
 
 
-# ---------------------------------------------------------------------------
-# IVF kernels (cogroup per cell, ~√n cells, Hamming-1 multi-probe)
-# ---------------------------------------------------------------------------
-
-
-def _ivf_topk_df(emb: DataFrame, k: int, bits: int, proto: bool = False) -> DataFrame:
-    """IVF ANN over a DataFrame: ~2^bits coarse cells from name-vector sign
-    bits, Hamming-1 multi-probe, exact scoring within probed cells via a
-    vectorized numpy matmul per cell (cogroup/applyInPandas), global window
-    top-k merge. ``proto=True`` scores cos(q, name) + cos(q, proto) per pair
-    — the two-score sum is per-pair math; the cell join is unchanged.
+def _ivf_knn(
+    queries: DataFrame,
+    dictionary: DataFrame,
+    k: int,
+    bits: int,
+    *,
+    exclude_self: bool,
+    proto: bool = False,
+) -> DataFrame:
+    """IVF ANN (src, dst, rank): ~2^bits coarse cells from dictionary
+    sign bits, queries Hamming-1 multi-probe their home cell, exact scoring
+    within probed cells via a vectorized numpy matmul per cell
+    (cogroup/applyInPandas), global window top-k merge. ``proto=True``
+    scores cos(q, name) + cos(q, proto) per pair — the two-score sum is
+    per-pair math; the cell join is unchanged.
 
     The per-cell kernel emits at most k candidates per (query, cell), so
     the merge input is ≤ len(_PROBE_FLIPS)·k rows per query — constant.
     """
-    v = F.col("embedding").cast("array<double>")
-    cell = F.shiftright(_cell8_expr(v), _MAX_CELL_BITS - bits)
-    dict_side = emb.select("vec_id", v.alias("v"), cell.alias("cell"))
-    probes = dict_side.select(
+    cell = F.shiftright(_cell8_expr(F.col("v")), _MAX_CELL_BITS - bits)
+    dict_side = dictionary.select("vec_id", "v", cell.alias("cell"))
+    probes = queries.select("vec_id", "v", cell.alias("cell")).select(
         "vec_id",
         "v",
         F.explode(
@@ -162,8 +183,8 @@ def _ivf_topk_df(emb: DataFrame, k: int, bits: int, proto: bool = False) -> Data
     def score_cell(qpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
         if qpdf.empty or dpdf.empty:
             return pd.DataFrame(
-                {"vec_id": pd.Series(dtype="int64"),
-                 "neighbor_id": pd.Series(dtype="int64"),
+                {"src": pd.Series(dtype="int64"),
+                 "dst": pd.Series(dtype="int64"),
                  "score": pd.Series(dtype="float64")}
             )
         q = _unit(np.array(list(qpdf["v"]), dtype=np.float64))
@@ -179,28 +200,64 @@ def _ivf_topk_df(emb: DataFrame, k: int, bits: int, proto: bool = False) -> Data
             order = np.lexsort((dids, -s))  # score desc, neighbor_id asc
             picked = 0
             for j in order:
-                if dids[j] == qid:
+                if exclude_self and dids[j] == qid:
                     continue
                 out.append((int(qid), int(dids[j]), float(s[j])))
                 picked += 1
                 if picked == k:
                     break
-        return pd.DataFrame(out, columns=["vec_id", "neighbor_id", "score"])
+        return pd.DataFrame(out, columns=["src", "dst", "score"])
 
     cand = (
         probes.groupBy("cell")
         .cogroup(dict_side.groupBy("cell"))
-        .applyInPandas(score_cell, "vec_id long, neighbor_id long, score double")
+        .applyInPandas(score_cell, "src long, dst long, score double")
     )
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    w = W.partitionBy("src").orderBy(F.col("score").desc(), F.col("dst"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
-        .orderBy("vec_id", "rank")
+        .select("src", "dst", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def knn_join(
+    queries: DataFrame,
+    dictionary: DataFrame,
+    k: int,
+    *,
+    exclude_self: bool,
+    proto: bool = False,
+    dict_count: int | None = None,
+) -> DataFrame:
+    """THE shared G8-dispatched kNN join: (vec_id, v) queries × (vec_id, v)
+    dictionary → (src, dst, rank), rank 1 = best, ordered (cosine desc,
+    dst asc). ≤ ``BRUTE_FORCE_MAX`` dictionary rows → broadcast matmul
+    kernel; above → IVF cogroup kernel — the driver-collect path is
+    structurally unreachable at scale. Every kNN consumer (cosine_topk,
+    proto_topk, the ladder relations) calls this instead of hand-rolling a
+    collect (reference's own switch: ``data_process.py:545-562``).
+    ``dict_count`` lets callers that already know the dictionary size skip
+    a duplicate count."""
+    n = dict_count if dict_count is not None else dictionary.count()
+    if n > BRUTE_FORCE_MAX:
+        return _ivf_knn(
+            queries, dictionary, k, _ivf_bits(n),
+            exclude_self=exclude_self, proto=proto,
+        )
+    return _bf_knn(queries, dictionary, k, exclude_self=exclude_self, proto=proto)
+
+
+def _to_self(nn: DataFrame) -> DataFrame:
+    """Self-join column contract: (src, dst, rank) → (vec_id, neighbor_id,
+    rank) in canonical order."""
+    return nn.select(
+        F.col("src").alias("vec_id"),
+        F.col("dst").alias("neighbor_id"),
+        "rank",
+    ).orderBy("vec_id", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -220,11 +277,8 @@ def cosine_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     ``data_process.py:545-562`` — IndexFlatIP ≤10k else IndexIVFFlat). The
     SQL oracle mirrors the same switch, so parity holds in both regimes.
     """
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    n = emb.count()  # parquet metadata count — no full scan
-    if n > BRUTE_FORCE_MAX:
-        return _ivf_topk_df(emb, k, _ivf_bits(n))
-    return _brute_force_topk(emb, k)
+    e = _vec(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return _to_self(knn_join(e, e, k, exclude_self=True))
 
 
 def exact_cosine_topk(
@@ -251,7 +305,8 @@ def exact_cosine_topk(
             "sample the set, raise fail_above knowingly, or use the ANN "
             "dispatch cosine_topk"
         )
-    return _brute_force_topk(emb, k)
+    e = _vec(emb)
+    return _to_self(_bf_knn(e, e, k, exclude_self=True))
 
 
 _EXACT_TOPK_CACHE: dict[tuple[str, str, int], DataFrame] = {}
@@ -287,7 +342,8 @@ def ivf_topk(
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     if bits is None:
         bits = _ivf_bits(n if n is not None else emb.count())
-    return _ivf_topk_df(emb, k, bits)
+    e = _vec(emb)
+    return _to_self(_ivf_knn(e, e, k, bits, exclude_self=True))
 
 
 def proto_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
@@ -304,11 +360,8 @@ def proto_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     driver-collect path is unreachable at scale. The oracle mirrors the
     switch.
     """
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    n = emb.count()
-    if n > BRUTE_FORCE_MAX:
-        return _ivf_topk_df(emb, k, _ivf_bits(n), proto=True)
-    return _brute_force_topk(emb, k, proto=True)
+    e = _vec(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return _to_self(knn_join(e, e, k, exclude_self=True, proto=True))
 
 
 # ---------------------------------------------------------------------------
@@ -457,3 +510,78 @@ SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank
 FROM ix_ranked WHERE rank <= {TOP_K}
 ORDER BY vec_id, rank
 """
+
+
+def knn_join_sql(
+    name: str,
+    query_where: str,
+    dict_where: str,
+    k: int,
+    *,
+    exclude_self: bool,
+    switch_at: int = BRUTE_FORCE_MAX,
+) -> str:
+    """DuckDB CTE block mirroring ``knn_join`` for consumers whose oracles
+    need a query/dict-sided kNN relation with the SAME G8 size switch the
+    Spark dispatch applies. Emits CTEs ending in ``{name}`` with columns
+    (src, dst, rank): a count-gated UNION of the exact (all-pairs) and IVF
+    (sign-bit cells + Hamming-1 probes, bits from the DICTIONARY count)
+    branches — exactly one side produces rows, decided by the dictionary
+    size vs ``switch_at``. Both sides filter ``embeddings`` by the given
+    WHERE predicates. Compose with a trailing SELECT over ``{name}``."""
+    self_pred = "AND q.vec_id <> d.vec_id" if exclude_self else ""
+    cos = (
+        "list_dot_product(q.v, d.v)"
+        " / (sqrt(list_dot_product(q.v, q.v))"
+        " * sqrt(list_dot_product(d.v, d.v)))"
+    )
+    return f"""
+{name}_q AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         ({_CELL8_SQL}) AS cell8
+  FROM embeddings WHERE {query_where}
+),
+{name}_d AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         ({_CELL8_SQL}) AS cell8
+  FROM embeddings WHERE {dict_where}
+),
+{name}_n AS (SELECT count(*) AS n FROM {name}_d),
+{name}_bits AS (
+  SELECT least(greatest(CAST(floor(log2(sqrt(greatest(n, 2))) + 0.5) AS INT), 3), 8)
+           AS bits
+  FROM {name}_n
+),
+{name}_bx AS (
+  SELECT src, dst, rank FROM (
+    SELECT q.vec_id AS src, d.vec_id AS dst,
+           row_number() OVER (
+             PARTITION BY q.vec_id ORDER BY {cos} DESC, d.vec_id) AS rank
+    FROM {name}_q q, {name}_d d
+    WHERE TRUE {self_pred}
+  ) WHERE rank <= {k}
+),
+{name}_dc AS (
+  SELECT vec_id, v, cell8 >> ({_MAX_CELL_BITS} - bits) AS cell
+  FROM {name}_d, {name}_bits
+),
+{name}_qp AS (
+  SELECT vec_id, v, xor(cell8 >> ({_MAX_CELL_BITS} - bits), f.flip) AS cell
+  FROM {name}_q, {name}_bits, (VALUES {_FLIPS_SQL}) f(flip)
+),
+{name}_ix AS (
+  SELECT src, dst, rank FROM (
+    SELECT q.vec_id AS src, d.vec_id AS dst,
+           row_number() OVER (
+             PARTITION BY q.vec_id ORDER BY {cos} DESC, d.vec_id) AS rank
+    FROM {name}_qp q JOIN {name}_dc d USING (cell)
+    WHERE TRUE {self_pred}
+  ) WHERE rank <= {k}
+),
+{name} AS (
+  SELECT src, dst, rank FROM {name}_bx
+  WHERE (SELECT n FROM {name}_n) <= {switch_at}
+  UNION ALL
+  SELECT src, dst, rank FROM {name}_ix
+  WHERE (SELECT n FROM {name}_n) > {switch_at}
+)"""
