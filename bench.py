@@ -25,28 +25,14 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # entities per sf dir → ~2.7 pages/entity
 _SF_ENTITIES = {"sf0.001": 120, "sf0.01": 400, "sf0.1": 4000}
 
-_BENCH_QUERIES = [
-    "exact_dedup",
-    "ngram_jaccard_neardup",
-    "minhash_lsh_candidates",
-    "simhash",
-    "token_stats",
-    "quality_scores",
-    "lang_id",
-    "fingerprints",
-    "cosine_topk",
-    "ivf_topk",
-    "proto_topk",
-    "ladder_graphs",
-    "embedding_neardup",
-    "recall_modes",
-    "mention_spans",
-    "pricing_summary",
-    "top_revenue_orders",
-    "first_ship_per_supplier",
-    "user_event_stats",
-    "event_gaps",
-]
+# Every queries() key is timed (VERDICT r3 #5: a regression anywhere must
+# be visible). er_clusters is excluded here — the flagship pipeline is
+# timed separately below as er_pipeline on the scaled synthetic corpus.
+_SKIP = {"er_clusters"}
+
+
+def _bench_queries(entry_mod) -> list[str]:
+    return [n for n in sorted(entry_mod.queries()) if n not in _SKIP]
 
 
 def _pages_parquet(spark, sf_name: str, n_entities: int, cache_root: str) -> str:
@@ -99,7 +85,7 @@ def main() -> None:
 
     # --- operator benchmarks ---
     qs = entry_mod.queries()
-    for name in _BENCH_QUERIES:
+    for name in _bench_queries(entry_mod):
         t0 = time.time()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
