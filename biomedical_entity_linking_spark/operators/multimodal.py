@@ -5,11 +5,14 @@ columns next to text. Decode here is REAL for the two formats that need
 no external codec library — 16-bit PCM WAV (RIFF chunk walk +
 ``np.frombuffer``) and 24-bpp uncompressed BMP (header parse + padded-row
 reshape), both pure struct/numpy — plus a nearest-neighbor ``resize``
-kernel. Compressed codecs (jpeg/png/mp4) would need PIL/ffmpeg, absent in
-this container, so THOSE payloads go through the clearly-marked
-deterministic stub; the dispatch, schema, Arrow batch shape,
-``mapInPandas`` iterator signatures, and metadata projection are identical
-either way, so a production deployment swaps the stub body only.
+kernel. Compressed images (jpeg/png) decode through a PLUGGABLE registry:
+if the optional public Pillow dependency is importable on the executors,
+``decode_image`` decodes them for real; otherwise they raise a
+clearly-marked ``NotImplementedError`` (feature extraction falls back to
+the deterministic stub). Video (mp4) stays a declared stub — ffmpeg is
+out of scope. The dispatch, schema, Arrow batch shape, ``mapInPandas``
+iterator signatures, and metadata projection are identical either way, so
+a production deployment only adds the codec libs to its executor image.
 
 Reference analog: the html ``binary`` column of ``pages`` and its
 extraction UDF (``extract.py``); the reference's own batched tensor kernels
@@ -125,6 +128,69 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img
 
 
+# ---------------------------------------------------------------------------
+# pluggable compressed-image codec (optional public dependency: Pillow)
+# ---------------------------------------------------------------------------
+
+_PIL_UNSET = object()
+_PIL_CACHE = _PIL_UNSET
+
+
+def _pil():
+    """Import-try Pillow once per process (executors each do their own).
+    Returns ``PIL.Image`` or None — the registry key for whether jpeg/png
+    decode is real or the declared stub in this deployment."""
+    global _PIL_CACHE
+    if _PIL_CACHE is _PIL_UNSET:
+        try:
+            from PIL import Image  # optional public dependency
+
+            _PIL_CACHE = Image
+        except ImportError:
+            _PIL_CACHE = None
+    return _PIL_CACHE
+
+
+def sniff_image_format(payload: bytes) -> str | None:
+    """Magic-byte sniff: 'bmp' | 'jpeg' | 'png' | None."""
+    if payload is None or len(payload) < 8:
+        return None
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    return None
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Image decode dispatch → uint8 (h, w, 3) RGB.
+
+    BMP decodes with the built-in pure-numpy codec. jpeg/png decode for
+    REAL when Pillow is importable (optional public dependency — the core
+    never requires it); without it they raise ``NotImplementedError`` with
+    an actionable message, exactly the declared-stub boundary. A real
+    100 TB crawl is overwhelmingly jpeg, so a production deployment ships
+    Pillow in the executor image and this same code path decodes it."""
+    kind = sniff_image_format(payload)
+    if kind == "bmp":
+        return decode_bmp(payload)
+    if kind in ("jpeg", "png"):
+        image_mod = _pil()
+        if image_mod is None:
+            raise NotImplementedError(
+                f"{kind} decode needs the optional Pillow dependency "
+                "(pip install pillow on the executor image) — or "
+                "pre-transcode payloads to 24bpp BMP for the built-in codec"
+            )
+        import io
+
+        with image_mod.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("RGB"))
+    raise ValueError("unrecognized image payload (not BMP/JPEG/PNG)")
+
+
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbor resize via index arithmetic (the resize kernel of
     the brief — pure numpy, exact and deterministic)."""
@@ -216,8 +282,8 @@ def _wav_feature_vec(payload: bytes) -> np.ndarray:
     return out
 
 
-def _bmp_feature_vec(payload: bytes) -> np.ndarray:
-    img = decode_bmp(payload)
+def _image_feature_vec(payload: bytes) -> np.ndarray:
+    img = decode_image(payload)
     out = np.zeros(FEATURE_DIM, dtype=np.float32)
     scaled = img.astype(np.float64) / 255.0
     out[:2] = (img.shape[1], img.shape[0])  # w, h
@@ -230,14 +296,18 @@ def _bmp_feature_vec(payload: bytes) -> np.ndarray:
 
 
 def _decode_features(payload: bytes, kind: str) -> np.ndarray:
-    """Decode dispatch: real WAV/BMP decode by magic sniff; everything else
-    (including the video kinds) through the declared stub."""
+    """Decode dispatch: real WAV decode by magic sniff; images (BMP always,
+    jpeg/png when Pillow is present) through ``decode_image``; everything
+    unimplemented in this deployment falls back to the declared stub."""
     if payload is None:
         return np.zeros(FEATURE_DIM, dtype=np.float32)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _wav_feature_vec(payload)
-    if payload[:2] == b"BM":
-        return _bmp_feature_vec(payload)
+    if sniff_image_format(payload) is not None:
+        try:
+            return _image_feature_vec(payload)
+        except NotImplementedError:
+            return _decode_stub(payload, kind)  # codec absent here
     return _decode_stub(payload, kind)
 
 
@@ -317,16 +387,18 @@ def audio_features(media: DataFrame) -> DataFrame:
 
 
 def image_features(media: DataFrame, thumb_h: int = 2, thumb_w: int = 4) -> DataFrame:
-    """REAL image decode operator: BMP payloads → (width, height, channel
-    means) plus a nearest-neighbor-resized grayscale thumbnail (the
-    resize/feature-extract step of the brief), via ``mapInPandas``."""
+    """REAL image decode operator: BMP (built-in codec) and — when the
+    optional Pillow dependency is on the executors — jpeg/png payloads →
+    (width, height, channel means) plus a nearest-neighbor-resized
+    grayscale thumbnail (the resize/feature-extract step of the brief),
+    via ``mapInPandas``. Undecodable payloads yield a null row."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    img = decode_bmp(p)
+                    img = decode_image(p)
                 except (ValueError, NotImplementedError, TypeError):
                     rows.append((int(mid), None, None, None, None, None, None))
                     continue

