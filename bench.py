@@ -81,6 +81,17 @@ def main() -> None:
     n_clusters = out["clusters"].count()
     er_sec = time.time() - t0
     timings["er_pipeline"] = round(er_sec, 3)
+    # drop-rate gate (VERDICT r3 #8): the hot-key pair cap must stay a
+    # skew escape hatch — ~0% of key rows capped on a healthy corpus
+    block_stats = out["counters"]["pairs"]["block_stats"]
+    capped = sum(s["rows_capped"] for s in block_stats)
+    total_keys = sum(s["total_key_rows"] for s in block_stats)
+    capped_frac = capped / max(total_keys, 1)
+    assert capped_frac <= 0.005, (
+        f"pair-cap drop rate {capped_frac:.4f} exceeds 0.5% — blocking keys "
+        f"are skewed beyond the viral-title design point (capped={capped}, "
+        f"total={total_keys}); re-tune bands/rows or max_block_size"
+    )
     shutil.rmtree(work_dir, ignore_errors=True)
 
     # --- operator benchmarks ---
@@ -103,6 +114,7 @@ def main() -> None:
                 "er_pages": n_pages,
                 "er_clusters": n_clusters,
                 "er_docs_per_sec": round(n_pages / er_sec, 2),
+                "pairs_capped_frac": round(capped_frac, 6),
             }
         )
     )

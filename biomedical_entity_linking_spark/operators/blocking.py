@@ -255,6 +255,9 @@ def generate_candidate_pairs(
             F.greatest(F.col("block_size") - max_block_size, F.lit(0))
         ).alias("rows_capped"),
         F.max("block_size").alias("max_block_size_seen"),
+        # denominator for the drop-rate gate (bench asserts it stays ~0):
+        # total key rows emitted for this kind, capped or not
+        F.sum("block_size").alias("total_key_rows"),
     )
     return distinct_pairs, stats
 

@@ -50,6 +50,14 @@ def test_counters_present_and_consistent(pipeline_run):
     for s in stats:
         assert s["comparisons_generated"] > 0
         assert s["rows_capped"] >= 0
+    # drop-rate gate (VERDICT r3 #8): the per-block pair cap exists for the
+    # viral-title hot key, but on a healthy corpus it must fire on ~0% of
+    # key rows — capped drops are the skew escape hatch, not a load-bearing
+    # sampling step (the F1 gate above proves the dropped pairs were junk)
+    capped = sum(s["rows_capped"] for s in stats)
+    total = sum(s["total_key_rows"] for s in stats)
+    assert total > 0
+    assert capped / total <= 0.01, (capped, total)
 
 
 def test_cluster_size_distribution(pipeline_run):

@@ -16,6 +16,10 @@ Usage: ``python tools/features_scale_bench.py [n_entities]`` (default
 via ``SCALING_TRIALS`` (default 2), sweeps via ``FEATURES_BATCHES``
 (default "10000,50000") and ``FEATURES_PARTS_MULT`` (default "2,4" — the
 round-robin partition count as a multiple of cores).
+``FEATURES_RECORDS_PATH`` overrides the cached input (e.g. a /dev/shm
+copy, isolating single-disk scan bandwidth — a sandbox artifact, since
+cluster executors scale disks with cores); combine with
+``SPARK_LINKAGE_TMPFS=1`` to also move shuffle spill off the shared disk.
 """
 
 from __future__ import annotations
@@ -96,7 +100,9 @@ def main() -> None:
                os.environ.get("FEATURES_BATCHES", "10000,50000").split(",")]
     mults = [int(x) for x in
              os.environ.get("FEATURES_PARTS_MULT", "2,4").split(",")]
-    records_path = _gen_records(n_entities)
+    records_path = os.environ.get("FEATURES_RECORDS_PATH") or _gen_records(
+        n_entities
+    )
     lo, hi = legs
     results = []
     for batch in batches:

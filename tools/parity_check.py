@@ -58,7 +58,11 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    wanted = sys.argv[1:] or list(qs)
+    args = sys.argv[1:]
+    do_flagship = "--flagship" in args
+    wanted = [a for a in args if not a.startswith("--")] or (
+        [] if do_flagship else list(qs)
+    )
     failures = 0
     for name in wanted:
         fn = qs[name]
@@ -101,6 +105,32 @@ def main() -> int:
             print(
                 f"OK   {name}: {len(a)} rows, spark {t_spark:.1f}s duck {t_duck:.1f}s"
             )
+
+    if do_flagship:
+        # VERDICT r3 #7: rows+hash parity for the flagship's deterministic
+        # prefix checkpoints against a single-process pandas/DuckDB oracle
+        import os
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import flagship_prefix
+
+        for name, got, want in flagship_prefix.run(spark):
+            a, b = norm_frame(got), norm_frame(want)
+            status = []
+            if len(a) != len(b):
+                status.append(f"ROWS {len(a)} vs {len(b)}")
+            if list(a.columns) != list(b.columns):
+                status.append(f"COLS {list(a.columns)} vs {list(b.columns)}")
+            if not status and value_hash(a) != value_hash(b):
+                diff = a.compare(b) if a.shape == b.shape else None
+                status.append("HASH mismatch")
+                if diff is not None and len(diff):
+                    status.append(f"first diffs:\n{diff.head(5)}")
+            if status:
+                print(f"FAIL {name}: {'; '.join(str(s) for s in status)}")
+                failures += 1
+            else:
+                print(f"OK   {name}: {len(a)} rows")
     return 1 if failures else 0
 
 
