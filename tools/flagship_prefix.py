@@ -79,7 +79,7 @@ def oracle_extract(pages: pd.DataFrame, rid_map: dict[str, int]) -> pd.DataFrame
 
 
 def oracle_keys(extract: pd.DataFrame, *, num_perm=128, bands=16, rows=8,
-                snm_window=4) -> pd.DataFrame:
+                snm_window=2) -> pd.DataFrame:
     """extract → (rid, key_kind, key): LSH band keys via the shared MinHash
     kernel + sorted-neighborhood bucket keys from one GLOBAL sort (the
     distributed side computes the same rank with range partitioning +
@@ -200,7 +200,8 @@ def run(spark, n_entities: int = 400, seed: int = 7):
     corpus = generate_corpus(n_entities=n_entities, seed=seed)
     pages_sdf, _ = corpus_to_spark(spark, corpus)
     wd = tempfile.mkdtemp(prefix="flagship_prefix_")
-    run_pipeline(spark, pages_sdf, PipelineConfig(work_dir=wd))
+    cfg = PipelineConfig(work_dir=wd)
+    run_pipeline(spark, pages_sdf, cfg)
 
     def read_ckpt(stage: str) -> pd.DataFrame:
         files = sorted(glob.glob(f"{wd}/{stage}/*.parquet"))
@@ -211,11 +212,19 @@ def run(spark, n_entities: int = 400, seed: int = 7):
     assert len(set(rid_map.values())) == len(rid_map), "rid collision"
     want_extract = oracle_extract(corpus.pages, rid_map)
 
-    keys = oracle_keys(want_extract)
-    want_pairs = oracle_pairs(keys)
+    keys = oracle_keys(
+        want_extract,
+        num_perm=cfg.num_perm,
+        bands=cfg.bands,
+        rows=cfg.rows_per_band,
+        snm_window=cfg.snm_window,
+    )
+    want_pairs = oracle_pairs(keys, max_block_size=cfg.max_block_size)
     got_pairs = read_ckpt("pairs")[["rid_a", "rid_b"]]
 
-    want_score = oracle_score(want_pairs, want_extract)
+    want_score = oracle_score(
+        want_pairs, want_extract, weights=cfg.weights, threshold=cfg.threshold
+    )
     got_score = read_ckpt("score")[
         ["rid_a", "rid_b", "jw", "tslev", "cosine", "pruned", "score"]
     ]
