@@ -142,6 +142,31 @@ def _greedy_partition_component(
 # ---------------------------------------------------------------------------
 
 
+def _subcomponent_labels(
+    edges: list[tuple[int, int, float]]
+) -> list[tuple[int, int]]:
+    """(node, min-node-of-its-subcomponent) for every node touched by the
+    kept edges — plain union-find over a single (small) component. Labels
+    are globally unique across kernel tasks because min-node ids are."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v, _ in edges:
+        parent[find(u)] = find(v)
+    label: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        label[r] = min(label.get(r, n), n)
+    return [(n, label[find(n)]) for n in parent]
+
+
 def greedy_entity_partition(
     edges: DataFrame,
     entity_nodes: DataFrame,
@@ -150,9 +175,21 @@ def greedy_entity_partition(
     weight: str = "weight",
     directed: bool = False,
     max_component_edges: int = MAX_COMPONENT_EDGES,
-) -> DataFrame:
+    return_labels: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Exact-mode sparsifier: reference greedy semantics, parallel across
-    components. Returns the kept edges (same src/dst/weight columns).
+    components. Returns the kept edges (same src/dst/weight columns) —
+    or, with ``return_labels=True``, ``(kept_edges, labels)`` where
+    ``labels`` is (node, component) over the KEPT edge graph with the
+    min-member-node as the component label.
+
+    The labels are exact and FREE: the greedy kernel already holds each
+    CC-labeled component in memory, and kept edges never cross original
+    components, so a per-task union-find over the kept edges IS the
+    post-sparsify connected components — consumers (the flagship's
+    clusters stage) skip an entire distributed CC fixed point over the
+    sparsified graph (measured: the second CC dominated greedy_exact's
+    +52% clusters-stage overhead at 3.3M pages).
 
     ``entity_nodes``: one-column DataFrame of entity node ids (same id
     space as src/dst). Components without any entity keep their spanning
@@ -209,13 +246,44 @@ def greedy_entity_partition(
             )
         )
         kept = _greedy_partition_component(triples, ents, directed)
-        return pd.DataFrame(kept, columns=["src", "dst", "weight"])
+        if not return_labels:
+            return pd.DataFrame(kept, columns=["src", "dst", "weight"])
+        lab = dict(_subcomponent_labels(kept))
+        return pd.DataFrame(
+            [(u, v, w, lab[u]) for u, v, w in kept],
+            columns=["src", "dst", "weight", "ncomp"],
+        )
 
+    if not return_labels:
+        out = e.groupBy("comp").applyInPandas(
+            run, "src long, dst long, weight double"
+        )
+        return out.select(
+            F.col("src").alias(src),
+            F.col("dst").alias(dst),
+            F.col("weight").alias(weight),
+        )
+
+    # labels mode: every kept edge carries its subcomponent label (both
+    # endpoints share it by construction); the label relation is a pure
+    # projection — no distributed CC over the sparsified graph. NOTE: the
+    # two returned frames share one lineage; a caller consuming BOTH
+    # should persist/checkpoint first (the flagship consumes only labels).
     out = e.groupBy("comp").applyInPandas(
-        run, "src long, dst long, weight double"
+        run, "src long, dst long, weight double, ncomp long"
     )
-    return out.select(
+    kept = out.select(
         F.col("src").alias(src),
         F.col("dst").alias(dst),
         F.col("weight").alias(weight),
     )
+    labels = (
+        out.select(F.col("src").alias("node"), F.col("ncomp").alias("component"))
+        .unionByName(
+            out.select(
+                F.col("dst").alias("node"), F.col("ncomp").alias("component")
+            )
+        )
+        .dropDuplicates(["node"])
+    )
+    return kept, labels
