@@ -183,13 +183,17 @@ def greedy_entity_partition(
     ``labels`` is (node, component) over the KEPT edge graph with the
     min-member-node as the component label.
 
-    The labels are exact and FREE: the greedy kernel already holds each
-    CC-labeled component in memory, and kept edges never cross original
-    components, so a per-task union-find over the kept edges IS the
-    post-sparsify connected components — consumers (the flagship's
-    clusters stage) skip an entire distributed CC fixed point over the
-    sparsified graph (measured: the second CC dominated greedy_exact's
-    +52% clusters-stage overhead at 3.3M pages).
+    The labels are exact: the greedy kernel already holds each CC-labeled
+    component in memory, and kept edges never cross original components,
+    so a per-task union-find over the kept edges IS the post-sparsify
+    connected components. Measured head-to-head
+    (``tools/sparsify_mode_bench.py``, 3M edges / 1M components, one
+    window): plain kernel 204.8 s + second CC 8.9 s vs labels kernel
+    285.8 s — the sparsified graph is forest-like, its CC converges in 1
+    round, and the label-emitting kernel pays ~40% extra per-group
+    Python, so the flagship keeps the plain-kernel + CC path. This mode
+    remains for consumers whose sparsified graphs are NOT cheap to
+    re-label (many CC rounds), where skipping the fixed point wins.
 
     ``entity_nodes``: one-column DataFrame of entity node ids (same id
     space as src/dst). Components without any entity keep their spanning
@@ -266,12 +270,15 @@ def greedy_entity_partition(
 
     # labels mode: every kept edge carries its subcomponent label (both
     # endpoints share it by construction); the label relation is a pure
-    # projection — no distributed CC over the sparsified graph. NOTE: the
-    # two returned frames share one lineage; a caller consuming BOTH
-    # should persist/checkpoint first (the flagship consumes only labels).
+    # projection — no distributed CC over the sparsified graph. The kernel
+    # output is checkpointed HERE because labels itself is a two-branch
+    # union over it (src + dst projections) — without materialization the
+    # CC-labeling + greedy chain executes once per branch (measured 2x the
+    # stage at 3.3M pages), and it also makes consuming both returned
+    # frames safe.
     out = e.groupBy("comp").applyInPandas(
         run, "src long, dst long, weight double, ncomp long"
-    )
+    ).localCheckpoint(eager=False)
     kept = out.select(
         F.col("src").alias(src),
         F.col("dst").alias(dst),

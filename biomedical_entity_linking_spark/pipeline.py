@@ -388,16 +388,17 @@ def run_pipeline(
             edges, bl_rids, src="rid_a", dst="rid_b", vertex_col="rid"
         )
 
-    greedy_labels = None
     if cfg.sparsifier == "greedy_exact":
         # exact-mode sparsifier (O4/G2/G3): per-component MST + greedy
         # ascending-weight pass; with no entity set every component keeps
         # its spanning forest (connectivity — and therefore the clusters —
-        # unchanged vs threshold_cc). The kernel also emits the EXACT
-        # post-sparsify component labels (it holds each component in
-        # memory), so the clusters stage skips the second distributed CC
-        # fixed point entirely — that second CC was the bulk of
-        # greedy_exact's +52% clusters-stage overhead at 3.3M pages.
+        # unchanged vs threshold_cc). The post-sparsify components come
+        # from the ordinary CC below: measured head-to-head
+        # (tools/sparsify_mode_bench.py), CC over the sparsified graph
+        # costs ~9 s/3M edges (forest-like → 1 iteration) while the
+        # labels-emitting kernel variant costs +40% — so the kernel-label
+        # shortcut (greedy_entity_partition(return_labels=True)) stays an
+        # operator option, not the pipeline default.
         from .operators.sparsify import greedy_entity_partition
 
         ent_rids = (
@@ -405,9 +406,7 @@ def run_pipeline(
             if entity_urls is not None
             else spark.createDataFrame([], "rid long")
         )
-        edges, greedy_labels = greedy_entity_partition(
-            edges, ent_rids, return_labels=True
-        )
+        edges = greedy_entity_partition(edges, ent_rids)
     elif cfg.sparsifier != "threshold_cc":
         raise ValueError(f"unknown sparsifier: {cfg.sparsifier!r}")
 
@@ -419,21 +418,13 @@ def run_pipeline(
         # the member with the smallest rid (deterministic canonical
         # representative, G5 analog) — or, when entity_urls is given, the
         # smallest ENTITY rid (G5 exact bipartite semantics).
-        if greedy_labels is not None:
-            # exact labels from the sparsifier kernel — no CC fixed point
-            cc_meta["iterations"] = 0
-            rid_labels = greedy_labels.select(
-                F.col("node").alias("rid"),
-                F.col("component").alias("comp_rid"),
-            )
-        else:
-            labels, iterations = connected_components(
-                edges, src="rid_a", dst="rid_b"
-            )
-            cc_meta["iterations"] = iterations
-            rid_labels = labels.select(
-                F.col("url").alias("rid"), F.col("component").alias("comp_rid")
-            )
+        labels, iterations = connected_components(
+            edges, src="rid_a", dst="rid_b"
+        )
+        cc_meta["iterations"] = iterations
+        rid_labels = labels.select(
+            F.col("url").alias("rid"), F.col("component").alias("comp_rid")
+        )
         base = (
             records.select("url", "rid")
             .join(rid_labels, "rid", "left")
