@@ -230,37 +230,59 @@ def greedy_entity_partition(
         .fillna(False, subset=["src_ent", "dst_ent"])
     )
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) > max_component_edges:
-            raise ValueError(
-                f"component with {len(pdf)} edges exceeds the sequential-"
-                f"partition cap of {max_component_edges}; raise the edge "
-                "threshold upstream (the greedy pass is per-component "
-                "sequential by design)"
+    # Components are keyed into a BOUNDED number of hash buckets and each
+    # task loops its bucket's components in one pandas groupby pass: real
+    # joint graphs decompose into millions of tiny components, and one
+    # applyInPandas group PER COMPONENT pays Arrow/pandas per-group
+    # overhead that dominates the stage (measured 205 s for 1M components
+    # at 16 cores; bucketing removes it). Component interiors still never
+    # split across tasks — the bucket key is a function of the component.
+    n_buckets = 8 * int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, g in pdf.groupby("comp", sort=False):
+            if len(g) > max_component_edges:
+                raise ValueError(
+                    f"component with {len(g)} edges exceeds the sequential-"
+                    f"partition cap of {max_component_edges}; raise the edge "
+                    "threshold upstream (the greedy pass is per-component "
+                    "sequential by design)"
+                )
+            ents: set[int] = set(
+                g.loc[g["src_ent"], "src"].tolist()
+                + g.loc[g["dst_ent"], "dst"].tolist()
             )
-        ents: set[int] = set(
-            pdf.loc[pdf["src_ent"], "src"].tolist()
-            + pdf.loc[pdf["dst_ent"], "dst"].tolist()
-        )
-        triples = list(
-            zip(
-                pdf["src"].tolist(),
-                pdf["dst"].tolist(),
-                pdf["weight"].tolist(),
+            triples = list(
+                zip(g["src"].tolist(), g["dst"].tolist(), g["weight"].tolist())
             )
-        )
-        kept = _greedy_partition_component(triples, ents, directed)
-        if not return_labels:
-            return pd.DataFrame(kept, columns=["src", "dst", "weight"])
-        lab = dict(_subcomponent_labels(kept))
-        return pd.DataFrame(
-            [(u, v, w, lab[u]) for u, v, w in kept],
-            columns=["src", "dst", "weight", "ncomp"],
-        )
+            kept = _greedy_partition_component(triples, ents, directed)
+            if not return_labels:
+                frames.append(
+                    pd.DataFrame(kept, columns=["src", "dst", "weight"])
+                )
+            else:
+                lab = dict(_subcomponent_labels(kept))
+                frames.append(
+                    pd.DataFrame(
+                        [(u, v, w, lab[u]) for u, v, w in kept],
+                        columns=["src", "dst", "weight", "ncomp"],
+                    )
+                )
+        if not frames:
+            cols = ["src", "dst", "weight"] + (
+                ["ncomp"] if return_labels else []
+            )
+            return pd.DataFrame(columns=cols)
+        return pd.concat(frames, ignore_index=True)
+
+    e = e.withColumn("bucket", F.pmod(F.col("comp"), F.lit(n_buckets)))
 
     if not return_labels:
-        out = e.groupBy("comp").applyInPandas(
-            run, "src long, dst long, weight double"
+        out = e.groupBy("bucket").applyInPandas(
+            run_bucket, "src long, dst long, weight double"
         )
         return out.select(
             F.col("src").alias(src),
@@ -276,8 +298,8 @@ def greedy_entity_partition(
     # CC-labeling + greedy chain executes once per branch (measured 2x the
     # stage at 3.3M pages), and it also makes consuming both returned
     # frames safe.
-    out = e.groupBy("comp").applyInPandas(
-        run, "src long, dst long, weight double, ncomp long"
+    out = e.groupBy("bucket").applyInPandas(
+        run_bucket, "src long, dst long, weight double, ncomp long"
     ).localCheckpoint(eager=False)
     kept = out.select(
         F.col("src").alias(src),
