@@ -1,12 +1,14 @@
 """Multimodal columns: opaque binary payloads + typed metadata + decode.
 
 A 100 TB training-data lakehouse carries image/audio/video as ``binary``
-columns next to text. Decode here is REAL for the two formats that need
+columns next to text. Decode here is REAL for the three formats that need
 no external codec library — 16-bit PCM WAV (RIFF chunk walk +
-``np.frombuffer``) and 24-bpp uncompressed BMP (header parse + padded-row
-reshape), both pure struct/numpy — plus a nearest-neighbor ``resize``
-kernel. Compressed images (jpeg/png) decode through a PLUGGABLE registry:
-if the optional public Pillow dependency is importable on the executors,
+``np.frombuffer``), 24-bpp uncompressed BMP (header parse + padded-row
+reshape), and 8-bit PNG (full chunk walk + CRC check + stdlib-zlib
+inflate + all-five-filter unfiltering in ``decode_png``) — plus a
+nearest-neighbor ``resize`` kernel. Other compressed images (jpeg, and
+the exotic PNG variants) decode through a PLUGGABLE registry: if the
+optional public Pillow dependency is importable on the executors,
 ``decode_image`` decodes them for real; otherwise they raise a
 clearly-marked ``NotImplementedError`` (feature extraction falls back to
 the deterministic stub). Video (mp4) stays a declared stub — ffmpeg is
@@ -23,6 +25,7 @@ reused here.
 from __future__ import annotations
 
 import struct
+import zlib
 from hashlib import blake2b
 from typing import Iterator
 
@@ -129,6 +132,177 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# real compressed-image codec: PNG (stdlib zlib + numpy, no external libs)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color_type → samples/px
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 image → PNG bytes (fixture encoder; also documents the layout
+    ``decode_png`` parses). Shape (h, w) → grayscale, (h, w, 3) → RGB,
+    (h, w, 4) → RGBA. ``filter_type`` (0..4) is applied to EVERY row so
+    round-trip tests exercise each unfilter branch of the decoder."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color_type, ch = 0, 1
+        rows = img[:, :, None]
+    elif img.shape[2] == 3:
+        color_type, ch = 2, 3
+        rows = img
+    elif img.shape[2] == 4:
+        color_type, ch = 6, 4
+        rows = img
+    else:
+        raise ValueError(f"unsupported channel count {img.shape[2]}")
+    h, w = img.shape[:2]
+    raw = rows.reshape(h, w * ch).astype(np.int16)
+    prior = np.zeros(w * ch, dtype=np.int16)
+    out = bytearray()
+    for y in range(h):
+        cur = raw[y]
+        left = np.zeros(w * ch, dtype=np.int16)
+        left[ch:] = cur[:-ch]
+        up_left = np.zeros(w * ch, dtype=np.int16)
+        up_left[ch:] = prior[:-ch]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prior
+        elif filter_type == 3:
+            filt = cur - (left + prior) // 2
+        elif filter_type == 4:
+            filt = cur - _paeth(left, prior, up_left)
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        out.append(filter_type)
+        out += (filt & 0xFF).astype(np.uint8).tobytes()
+        prior = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(left: np.ndarray, up: np.ndarray, up_left: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §9.4) over int16 arrays."""
+    p = left + up - up_left
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - up_left)
+    return np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, up_left)
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decode → uint8 (h, w, 3) RGB, pure stdlib-zlib + numpy.
+
+    Full chunk walk with CRC verification, multi-IDAT concatenation, zlib
+    inflate, and per-row unfiltering (all five filter types — None/Sub/Up/
+    Average/Paeth — with the sequential Sub/Average/Paeth recurrences run
+    per-pixel but vectorized across channels). Supported: 8-bit depth,
+    color types 0 (gray), 2 (RGB), 3 (palette via PLTE), 4 (gray+alpha),
+    6 (RGBA), non-interlaced; alpha is dropped (Pillow ``convert("RGB")``
+    semantics), gray broadcast to 3 channels. 16-bit, sub-byte depths and
+    Adam7 interlacing raise ``NotImplementedError`` (the pluggable Pillow
+    path picks those up when present)."""
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + clen : pos + 12 + clen])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color_type, compression, filter_method, interlace = ihdr
+    if color_type not in _PNG_CHANNELS or compression != 0 or filter_method != 0:
+        raise ValueError(f"bad PNG header (color_type={color_type})")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} interlace={interlace} needs the optional "
+            "Pillow codec (8-bit non-interlaced decodes built-in)"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y, 0]
+        cur = raw[y, 1:].astype(np.int32)
+        if ftype == 0:
+            line = cur
+        elif ftype == 2:
+            line = (cur + prior) & 0xFF
+        elif ftype in (1, 3, 4):
+            line = cur  # in-place recurrence along x, vectorized over ch
+            for x in range(0, stride, ch):
+                left = line[x - ch : x] if x else np.zeros(ch, dtype=np.int32)
+                up = prior[x : x + ch]
+                if ftype == 1:
+                    line[x : x + ch] = (line[x : x + ch] + left) & 0xFF
+                elif ftype == 3:
+                    line[x : x + ch] = (
+                        line[x : x + ch] + (left + up) // 2
+                    ) & 0xFF
+                else:
+                    up_left = (
+                        prior[x - ch : x] if x else np.zeros(ch, dtype=np.int32)
+                    )
+                    line[x : x + ch] = (
+                        line[x : x + ch] + _paeth(left, up, up_left)
+                    ) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        recon[y] = line
+        prior = line.astype(np.int32)
+    px = recon.reshape(h, w, ch)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        return plte[px[:, :, 0]]
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGB / RGBA (alpha dropped)
+
+
+# ---------------------------------------------------------------------------
 # pluggable compressed-image codec (optional public dependency: Pillow)
 # ---------------------------------------------------------------------------
 
@@ -167,7 +341,8 @@ def sniff_image_format(payload: bytes) -> str | None:
 def decode_image(payload: bytes) -> np.ndarray:
     """Image decode dispatch → uint8 (h, w, 3) RGB.
 
-    BMP decodes with the built-in pure-numpy codec. jpeg/png decode for
+    BMP and 8-bit PNG decode with the built-in pure-numpy/zlib codecs —
+    no external dependency. jpeg (and 16-bit/interlaced PNG) decode for
     REAL when Pillow is importable (optional public dependency — the core
     never requires it); without it they raise ``NotImplementedError`` with
     an actionable message, exactly the declared-stub boundary. A real
@@ -176,13 +351,20 @@ def decode_image(payload: bytes) -> np.ndarray:
     kind = sniff_image_format(payload)
     if kind == "bmp":
         return decode_bmp(payload)
+    if kind == "png":
+        try:
+            return decode_png(payload)  # built-in real codec, no deps
+        except NotImplementedError:
+            if _pil() is None:
+                raise
+            # 16-bit / interlaced variants fall through to Pillow
     if kind in ("jpeg", "png"):
         image_mod = _pil()
         if image_mod is None:
             raise NotImplementedError(
                 f"{kind} decode needs the optional Pillow dependency "
                 "(pip install pillow on the executor image) — or "
-                "pre-transcode payloads to 24bpp BMP for the built-in codec"
+                "pre-transcode payloads to PNG/24bpp-BMP for the built-in codecs"
             )
         import io
 
@@ -202,9 +384,10 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media table: REAL payloads for audio (PCM16 WAV sine +
-    noise) and image (24bpp BMP, widths chosen to exercise row padding);
-    video keeps a fake mp4-style payload — its decode is the declared
-    stub."""
+    noise) and image (alternating 24bpp BMP — widths chosen to exercise row
+    padding — and zlib-compressed PNG cycling through all five row
+    filters); video keeps a fake mp4-style payload — its decode is the
+    declared stub."""
     rng = np.random.RandomState(seed)
     kinds = ["image", "audio", "video"]
     rows = []
@@ -222,10 +405,13 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             )
             width = height = None
         elif kind == "image":
-            # odd widths exercise the 4-byte row padding
+            # odd widths exercise the 4-byte BMP row padding
             width, height = 5 + (i % 4), 4 + (i % 3)
             rgb = rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
-            payload = encode_bmp(rgb)
+            if (i // 3) % 2 == 0:
+                payload = encode_bmp(rgb)
+            else:  # PNG half cycles through every row-filter type
+                payload = encode_png(rgb, filter_type=(i // 6) % 5)
             dur_ms = None
         else:
             payload = b"\x00\x00\x00\x18" + bytes(
@@ -248,7 +434,7 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 
 def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
-    """STUB for codecs that need external libraries (jpeg/png/mp4...): a
+    """STUB for codecs that need external libraries (jpeg/mp4...): a
     deterministic FEATURE_DIM-float vector derived from the payload bytes.
     A production deployment replaces this body with ffmpeg/PIL decode + a
     feature head; the signature (bytes, kind) -> float32[FEATURE_DIM] is
@@ -296,9 +482,10 @@ def _image_feature_vec(payload: bytes) -> np.ndarray:
 
 
 def _decode_features(payload: bytes, kind: str) -> np.ndarray:
-    """Decode dispatch: real WAV decode by magic sniff; images (BMP always,
-    jpeg/png when Pillow is present) through ``decode_image``; everything
-    unimplemented in this deployment falls back to the declared stub."""
+    """Decode dispatch: real WAV decode by magic sniff; images (BMP/PNG
+    always via the built-in codecs, jpeg when Pillow is present) through
+    ``decode_image``; everything unimplemented in this deployment falls
+    back to the declared stub."""
     if payload is None:
         return np.zeros(FEATURE_DIM, dtype=np.float32)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -306,8 +493,10 @@ def _decode_features(payload: bytes, kind: str) -> np.ndarray:
     if sniff_image_format(payload) is not None:
         try:
             return _image_feature_vec(payload)
-        except NotImplementedError:
-            return _decode_stub(payload, kind)  # codec absent here
+        except (NotImplementedError, ValueError, TypeError):
+            # codec absent here, or a corrupt payload — at crawl scale
+            # corrupt bytes are routine; never crash the feature job
+            return _decode_stub(payload, kind)
     return _decode_stub(payload, kind)
 
 
@@ -387,8 +576,8 @@ def audio_features(media: DataFrame) -> DataFrame:
 
 
 def image_features(media: DataFrame, thumb_h: int = 2, thumb_w: int = 4) -> DataFrame:
-    """REAL image decode operator: BMP (built-in codec) and — when the
-    optional Pillow dependency is on the executors — jpeg/png payloads →
+    """REAL image decode operator: BMP + 8-bit PNG (built-in codecs) and —
+    when the optional Pillow dependency is on the executors — jpeg payloads →
     (width, height, channel means) plus a nearest-neighbor-resized
     grayscale thumbnail (the resize/feature-extract step of the brief),
     via ``mapInPandas``. Undecodable payloads yield a null row."""
