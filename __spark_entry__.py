@@ -8,7 +8,7 @@ dedup family, text analysis, similarity search (G8-dispatched ANN with
 size-switch-mirroring oracles), the k-ladder joint-graph family, the
 ranked-candidate evaluation metrics, mention-surface operators, and the
 relational operator-coverage queries (aggregations, joins, windows, set
-ops) on the TPC-H-ish tables — 39 entries, 38 with DuckDB oracles.
+ops) on the TPC-H-ish tables — 40 entries, 39 with DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -452,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": D.simhash,
         "simhash_neardup": D.simhash_neardup,
         "embedding_neardup": D.embedding_neardup,
+        "dup_spans": D.dup_spans,
         # text analysis
         "token_stats": TA.token_stats,
         "quality_scores": TA.quality_scores,
@@ -499,6 +500,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": D.SIMHASH_SQL,
         "simhash_neardup": D.SIMHASH_NEARDUP_SQL,
         "embedding_neardup": D._finalize_emb_neardup_sql(),
+        "dup_spans": D.DUP_SPANS_SQL,
         "token_stats": TA.TOKEN_STATS_SQL,
         "quality_scores": TA.QUALITY_SCORES_SQL,
         "lang_id": TA.LANG_ID_SQL,

@@ -611,3 +611,116 @@ FROM bitsum
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# exact substring dedup: maximal duplicated token-n-gram spans
+# --------------------------------------------------------------------------
+
+DUP_SPAN_W = 8  # token width of the duplicated-gram unit
+
+
+def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (the Lee et al. 2022 "Deduplicating Training
+    Data" operation, token-granular): find every maximal span of tokens
+    whose every ``DUP_SPAN_W``-gram also occurs in at least one OTHER
+    document. Output: (doc_id, span_start, span_end, span_tokens,
+    n_dup_grams) with 0-based inclusive token offsets — the spans a
+    training-data pipeline would cut or down-weight before tokenization.
+
+    Spark-first shape (pure Catalyst, no UDFs):
+      1. rolling token 8-grams with start positions — ``transform`` over a
+         ``sequence`` + ``posexplode`` (one row per gram occurrence; the
+         relation is linear in corpus token count);
+      2. grams duplicated across documents — one hash-shuffle groupBy on
+         the gram hash with map-side partial aggregation (hot boilerplate
+         grams pre-combine per partition, so skew never concentrates);
+      3. flag occurrences — an equi-join back on the gram hash (build side
+         is one row per duplicated gram; no row explosion);
+      4. islands-and-gaps — per-document window ``pos − row_number()``
+         collapses consecutive flagged positions into maximal spans.
+
+    At 10^12 rows the only scale lever is the gram-key width: swap the
+    portable md5 hex for ``xxhash64`` (8-byte shuffle keys, same plan).
+    The suite's planted near-duplicate documents guarantee non-trivial
+    spans at every sf."""
+    from pyspark.sql import Window as W
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(DUP_SPAN_W - 1)),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, DUP_SPAN_W), " ")),
+    )
+    occ = (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        # guard BEFORE sequence(): Spark errors on start > stop boundaries
+        .filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= DUP_SPAN_W)
+        .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+    )
+    # cross-doc duplicated ⟺ min(doc_id) ≠ max(doc_id): a plain min/max
+    # agg (fully map-side combinable — no count_distinct expansion, hot
+    # boilerplate grams pre-combine per partition before the shuffle)
+    dup = (
+        occ.groupBy("gram")
+        .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .select("gram")
+    )
+    flagged = occ.join(dup, "gram").select("doc_id", "pos")
+    isl = F.col("pos") - F.row_number().over(
+        W.partitionBy("doc_id").orderBy("pos")
+    )
+    return (
+        flagged.withColumn("_isl", isl)
+        .groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(DUP_SPAN_W - 1)).cast("long").alias("span_end"),
+            F.count("*").alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_dup_grams",
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+DUP_SPANS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE length(trim(text)) > 0
+    AND len(regexp_split_to_array(trim(text), '\\s+')) >= {DUP_SPAN_W}
+),
+occ AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(toks[i:i+{DUP_SPAN_W - 1}], ' ')) AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {DUP_SPAN_W - 1})) AS i
+        FROM tok)
+),
+dup AS (
+  SELECT gram FROM occ GROUP BY gram HAVING min(doc_id) <> max(doc_id)
+),
+flagged AS (
+  SELECT occ.doc_id, occ.pos FROM occ JOIN dup USING (gram)
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS k
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {DUP_SPAN_W - 1} AS BIGINT) AS span_end,
+       CAST(max(pos) - min(pos) + {DUP_SPAN_W} AS BIGINT) AS span_tokens,
+       count(*) AS n_dup_grams
+FROM isl
+GROUP BY doc_id, k
+ORDER BY doc_id, span_start
+"""

@@ -11,6 +11,7 @@ import __spark_entry__ as entry_mod
 SF_DIR = "/root/testdata/sf0.001"
 FAST_QUERIES = [
     "exact_dedup",
+    "dup_spans",
     "token_stats",
     "lang_id",
     "fingerprints",
