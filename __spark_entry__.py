@@ -8,7 +8,7 @@ dedup family, text analysis, similarity search (G8-dispatched ANN with
 size-switch-mirroring oracles), the k-ladder joint-graph family, the
 ranked-candidate evaluation metrics, mention-surface operators, and the
 relational operator-coverage queries (aggregations, joins, windows, set
-ops) on the TPC-H-ish tables — 40 entries, 39 with DuckDB oracles.
+ops) on the TPC-H-ish tables — 42 entries, 41 with DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -453,11 +453,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": D.simhash_neardup,
         "embedding_neardup": D.embedding_neardup,
         "dup_spans": D.dup_spans,
+        "decontamination": D.decontamination,
         # text analysis
         "token_stats": TA.token_stats,
         "quality_scores": TA.quality_scores,
         "lang_id": TA.lang_id,
         "fingerprints": TA.fingerprints,
+        "repetition_scores": TA.repetition_scores,
         # similarity search + labeled-candidate evaluation
         "cosine_topk": SIM.cosine_topk,
         "ivf_topk": SIM.ivf_topk,
@@ -501,10 +503,12 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": D.SIMHASH_NEARDUP_SQL,
         "embedding_neardup": D._finalize_emb_neardup_sql(),
         "dup_spans": D.DUP_SPANS_SQL,
+        "decontamination": D.DECONTAMINATION_SQL,
         "token_stats": TA.TOKEN_STATS_SQL,
         "quality_scores": TA.QUALITY_SCORES_SQL,
         "lang_id": TA.LANG_ID_SQL,
         "fingerprints": TA.FINGERPRINTS_SQL,
+        "repetition_scores": TA.REPETITION_SCORES_SQL,
         "cosine_topk": SIM.COSINE_TOPK_SQL,
         "ivf_topk": SIM.IVF_TOPK_SQL,
         "proto_topk": SIM.PROTO_TOPK_SQL,

@@ -620,6 +620,25 @@ ORDER BY doc_id
 DUP_SPAN_W = 8  # token width of the duplicated-gram unit
 
 
+def _gram_occurrences(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
+    """(doc_id, pos, gram): every rolling token ``w``-gram occurrence with
+    its 0-based start position, gram keyed by portable md5 (swap for
+    ``xxhash64`` at 10^12 rows — 8-byte shuffle keys, same plan). Pure
+    Catalyst: transform over a sequence + posexplode; linear in corpus
+    token count."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(w - 1)),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, w), " ")),
+    )
+    return (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        # guard BEFORE sequence(): Spark errors on start > stop boundaries
+        .filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= w)
+        .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+    )
+
+
 def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup (the Lee et al. 2022 "Deduplicating Training
     Data" operation, token-granular): find every maximal span of tokens
@@ -646,18 +665,7 @@ def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans at every sf."""
     from pyspark.sql import Window as W
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(DUP_SPAN_W - 1)),
-        lambda i: F.md5(F.array_join(F.slice(toks, i, DUP_SPAN_W), " ")),
-    )
-    occ = (
-        docs.filter(F.length(F.trim(F.col("text"))) > 0)
-        # guard BEFORE sequence(): Spark errors on start > stop boundaries
-        .filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= DUP_SPAN_W)
-        .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
-    )
+    occ = _gram_occurrences(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     # cross-doc duplicated ⟺ min(doc_id) ≠ max(doc_id): a plain min/max
     # agg (fully map-side combinable — no count_distinct expansion, hot
     # boilerplate grams pre-combine per partition before the shuffle)
@@ -723,4 +731,77 @@ SELECT doc_id,
 FROM isl
 GROUP BY doc_id, k
 ORDER BY doc_id, span_start
+"""
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination: cross-split n-gram hits
+# --------------------------------------------------------------------------
+
+DECON_BENCH_MOD = 10  # demo split: doc_id % 10 == 0 → "benchmark" doc
+
+
+def contamination_hits(corpus: DataFrame, benchmark: DataFrame) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM-style n-gram overlap
+    check): per corpus document, how many of its rolling 8-grams also
+    appear in the benchmark set. Returns (doc_id, n_hit_grams,
+    n_distinct_hit_grams, first_hit_pos) for contaminated docs only — the
+    rows a training pipeline would drop or audit before training.
+
+    Scale shape: the benchmark side is TINY by definition (eval suites are
+    megabytes against a 100 TB corpus), so its distinct gram set is
+    broadcast and the flag-back is a broadcast semi-join — the corpus
+    never shuffles. The corpus side stays one linear posexplode scan."""
+    bench_grams = _gram_occurrences(benchmark).select("gram").distinct()
+    hits = _gram_occurrences(corpus).join(F.broadcast(bench_grams), "gram")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hit_grams"),
+            F.count_distinct("gram").alias("n_distinct_hit_grams"),
+            F.min("pos").cast("long").alias("first_hit_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage query: deterministic benchmark split over the documents
+    table (doc_id % 10 == 0 plays the eval suite), contamination hits for
+    the remaining 90% corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    return contamination_hits(corpus, bench)
+
+
+DECONTAMINATION_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE length(trim(text)) > 0
+    AND len(regexp_split_to_array(trim(text), '\\s+')) >= {DUP_SPAN_W}
+),
+occ AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(toks[i:i+{DUP_SPAN_W - 1}], ' ')) AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {DUP_SPAN_W - 1})) AS i
+        FROM tok)
+),
+bench AS (
+  SELECT DISTINCT gram FROM occ WHERE doc_id % {DECON_BENCH_MOD} = 0
+),
+hits AS (
+  SELECT occ.doc_id, occ.gram, occ.pos
+  FROM occ JOIN bench USING (gram)
+  WHERE occ.doc_id % {DECON_BENCH_MOD} <> 0
+)
+SELECT doc_id,
+       count(*) AS n_hit_grams,
+       count(DISTINCT gram) AS n_distinct_hit_grams,
+       CAST(min(pos) AS BIGINT) AS first_hit_pos
+FROM hits
+GROUP BY doc_id
+ORDER BY doc_id
 """

@@ -210,3 +210,70 @@ SELECT doc_id,
 FROM t
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# intra-document repetition quality scores (Gopher-style filters)
+# --------------------------------------------------------------------------
+
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics (the Rae et al. 2021 Gopher quality
+    filters): fraction of duplicated 2-grams and 3-grams WITHIN each
+    document — high values mark boilerplate/spam a training pipeline
+    down-weights. One row per document.
+
+    Entirely per-row Catalyst (transform/array_distinct HOFs over the
+    token array): no explode, no shuffle, no UDF — at 10^12 rows this is
+    a pure map stage that fuses into the scan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _tokens(F.col("text"))
+
+    def dup_frac(n: int):
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        total = F.size(grams)
+        return F.when(
+            total > 0,
+            F.round(
+                1.0 - F.size(F.array_distinct(grams)) / total.cast("double"), 6
+            ),
+        )
+
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+    ).orderBy("doc_id")
+
+
+def _sql_dup_frac(n: int) -> str:
+    grams = (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"[array_to_string(toks[i:i+{n - 1}], ' ') "
+        f"for i in generate_series(1, len(toks) - {n - 1})] "
+        f"ELSE [] END"
+    )
+    return (
+        f"CASE WHEN len({grams}) > 0 THEN "
+        f"round(1.0 - CAST(len(list_distinct({grams})) AS DOUBLE) "
+        f"/ len({grams}), 6) END"
+    )
+
+
+REPETITION_SCORES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       {_sql_dup_frac(2)} AS dup_2gram_frac,
+       {_sql_dup_frac(3)} AS dup_3gram_frac
+FROM t
+ORDER BY doc_id
+"""

@@ -64,3 +64,50 @@ def test_short_docs_skipped(spark, tmp_path):
     sf = _write_docs(spark, tmp_path, ["one two three", "", "   ", "x y"])
     assert dup_spans(spark, sf).count() == 0
     assert DUP_SPAN_W == 8
+
+
+def test_contamination_cross_split_only(spark, tmp_path):
+    """contamination_hits flags corpus docs sharing an 8-gram with the
+    BENCHMARK set only — corpus-internal duplication is not contamination."""
+    from biomedical_entity_linking_spark.operators.dedup import (
+        contamination_hits,
+    )
+
+    bench_run = "q1 q2 q3 q4 q5 q6 q7 q8 q9"      # 9 tokens → 2 grams
+    corp_run = "c1 c2 c3 c4 c5 c6 c7 c8"
+    docs = spark.createDataFrame(
+        [
+            (0, f"intro {bench_run} outro"),            # benchmark
+            (1, f"copied {bench_run} tail"),            # contaminated
+            (2, f"{corp_run} filler one two three"),    # corpus-dup only
+            (3, f"{corp_run} other words here now"),    # corpus-dup only
+            (5, "a perfectly clean document with original text inside"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 0")
+    corpus = docs.filter("doc_id <> 0")
+    rows = {r["doc_id"]: r for r in contamination_hits(corpus, bench).collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_hit_grams"] == 2          # both benchmark grams hit
+    assert rows[1]["n_distinct_hit_grams"] == 2
+    assert rows[1]["first_hit_pos"] == 1        # after the 'copied' token
+
+
+def test_repetition_scores_known_fracs(spark, tmp_path):
+    from biomedical_entity_linking_spark.operators.text_analysis import (
+        repetition_scores,
+    )
+
+    sf = _write_docs(
+        spark, tmp_path, ["a b a b a b", "w x y z", "solo", ""]
+    )
+    rows = {r["doc_id"]: r for r in repetition_scores(spark, sf).collect()}
+    # "a b a b a b": 2-grams [ab,ba,ab,ba,ab] → 5 total / 2 distinct
+    assert rows[0]["dup_2gram_frac"] == 0.6
+    # 3-grams [aba,bab,aba,bab] → 4 total / 2 distinct
+    assert rows[0]["dup_3gram_frac"] == 0.5
+    assert rows[1]["dup_2gram_frac"] == 0.0     # all distinct
+    assert rows[2]["n_tokens"] == 1 and rows[2]["dup_2gram_frac"] is None
+    assert rows[3]["n_tokens"] == 0 and rows[3]["dup_3gram_frac"] is None
+    assert len(rows) == 4                       # one row per doc, always
