@@ -622,18 +622,31 @@ DUP_SPAN_W = 8  # token width of the duplicated-gram unit
 
 def _gram_occurrences(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
     """(doc_id, pos, gram): every rolling token ``w``-gram occurrence with
-    its 0-based start position, gram keyed by portable md5 (swap for
-    ``xxhash64`` at 10^12 rows — 8-byte shuffle keys, same plan). Pure
-    Catalyst: transform over a sequence + posexplode; linear in corpus
-    token count."""
+    its 0-based start position, gram keyed by ``xxhash64`` — an 8-byte
+    JVM-side key (the hash never reaches the output, only the grouping
+    does, so the DuckDB oracles group on the raw gram text instead;
+    collision odds at n grams are ~n²/2^65 — negligible till ~10^8, swap
+    in a 128-bit hash beyond).
+
+    Construction is the measured-fast Catalyst shape: hash each token
+    once, ``arrays_zip`` the ``w`` shifted slices of the hash array (bulk
+    Tungsten array copies), and combine each struct with one multi-arg
+    ``xxhash64`` — 7x faster than building per-gram join strings inside a
+    sequence-transform lambda (11.6 s vs 85 s over 14.7M grams at 8
+    cores), per-row semantics (no window, no shuffle, duplicate doc_ids
+    can't cross-contaminate), linear in corpus token count."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    n_grams = F.size(toks) - F.lit(w - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(th, i + 1, n_grams).alias(f"h{i}") for i in range(w)]
+    )
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(w - 1)),
-        lambda i: F.md5(F.array_join(F.slice(toks, i, w), " ")),
+        zipped, lambda s: F.xxhash64(*[s[f"h{i}"] for i in range(w)])
     )
     return (
         docs.filter(F.length(F.trim(F.col("text"))) > 0)
-        # guard BEFORE sequence(): Spark errors on start > stop boundaries
+        # guard BEFORE slice(): Spark errors on non-positive slice lengths
         .filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= w)
         .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
     )
@@ -707,7 +720,7 @@ WITH tok AS (
 ),
 occ AS (
   SELECT doc_id, i - 1 AS pos,
-         md5(array_to_string(toks[i:i+{DUP_SPAN_W - 1}], ' ')) AS gram
+         array_to_string(toks[i:i+{DUP_SPAN_W - 1}], ' ') AS gram
   FROM (SELECT doc_id, toks,
                unnest(generate_series(1, len(toks) - {DUP_SPAN_W - 1})) AS i
         FROM tok)
@@ -784,7 +797,7 @@ WITH tok AS (
 ),
 occ AS (
   SELECT doc_id, i - 1 AS pos,
-         md5(array_to_string(toks[i:i+{DUP_SPAN_W - 1}], ' ')) AS gram
+         array_to_string(toks[i:i+{DUP_SPAN_W - 1}], ' ') AS gram
   FROM (SELECT doc_id, toks,
                unnest(generate_series(1, len(toks) - {DUP_SPAN_W - 1})) AS i
         FROM tok)
