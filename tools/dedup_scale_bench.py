@@ -38,6 +38,14 @@ cpus = int(sys.argv[1]); sf_dir = sys.argv[2]
 # of ~50 MB), identical on both legs: parallelism comes from cores, and
 # the low leg must not spill just because it has fewer of them
 parts = int(os.environ.get("DEDUP_BENCH_PARTS", "64"))
+# cluster-faithful memory: an executor's heap travels with its cores, so
+# the leg's JVM gets gb-per-core x cores (default 6g/core: 12g at 2,
+# 48g at 8) — a fixed heap on both legs measures one box's GC behavior,
+# not the plan (the r4 1M-doc campaign's superlinear-decon artifact)
+os.environ.setdefault(
+    "SPARK_DRIVER_MEM",
+    f"{int(os.environ.get('DEDUP_BENCH_GB_PER_CORE', '6')) * cpus}g",
+)
 spark = get_spark(app_name=f"dedupscale{cpus}", cores=cpus,
                   shuffle_partitions=max(parts, 2 * cpus))
 docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
