@@ -14,7 +14,12 @@ so the timed section is pure operator.
 
 Usage: ``python tools/dedup_scale_bench.py [n_entities]`` (default
 300_000 ≈ 1M docs); legs via ``SCALING_LEGS`` (default "2,8"), trials
-via ``SCALING_TRIALS`` (default 2).
+via ``SCALING_TRIALS`` (default 2). Each (op, leg) runs in its OWN
+subprocess with heap scaled per-core (``DEDUP_BENCH_GB_PER_CORE``,
+default 6g/core) — the r4 campaigns proved both shared-state artifacts:
+a fixed 48g heap slowed the 2-core leg 33% (GC threads scale with
+cores), and the second op in a shared JVM inherited the first's
+heap/spill state (superlinear decon readings in both runs).
 """
 
 from __future__ import annotations
@@ -33,7 +38,7 @@ from biomedical_entity_linking_spark.operators.dedup import (
     dup_spans, contamination_hits,
 )
 
-cpus = int(sys.argv[1]); sf_dir = sys.argv[2]
+cpus = int(sys.argv[1]); sf_dir = sys.argv[2]; which = sys.argv[3]
 # shuffle partitions sized to the DATA (≈150M gram rows → ~64 partitions
 # of ~50 MB), identical on both legs: parallelism comes from cores, and
 # the low leg must not spill just because it has fewer of them
@@ -50,18 +55,23 @@ spark = get_spark(app_name=f"dedupscale{cpus}", cores=cpus,
                   shuffle_partitions=max(parts, 2 * cpus))
 docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 n = docs.count()  # warm scan
-out = {"cpus": cpus, "docs": n}
-t0 = time.time()
-out["dup_spans_rows"] = dup_spans(spark, sf_dir).count()
-out["dup_spans_sec"] = round(time.time() - t0, 2)
-# production decontamination shape: the benchmark is FIXED AND SMALL
-# (eval suites are megabytes) while the corpus grows — the % 10 demo
-# split would scale the broadcast side with the corpus instead
-bench = docs.orderBy("doc_id").limit(1000)
-corpus = docs.join(F.broadcast(bench.select("doc_id")), "doc_id", "left_anti")
-t0 = time.time()
-out["decontamination_rows"] = contamination_hits(corpus, bench).count()
-out["decontamination_sec"] = round(time.time() - t0, 2)
+out = {"cpus": cpus, "docs": n, "op": which}
+# one op per process: the second op in a shared JVM inherits the first
+# op's heap/spill state (both r4 1M campaigns read decon superlinear for
+# exactly that reason) — per-(op, leg) isolation makes numbers attributable
+if which == "dup_spans":
+    t0 = time.time()
+    out["dup_spans_rows"] = dup_spans(spark, sf_dir).count()
+    out["dup_spans_sec"] = round(time.time() - t0, 2)
+else:
+    # production decontamination shape: the benchmark is FIXED AND SMALL
+    # (eval suites are megabytes) while the corpus grows — the % 10 demo
+    # split would scale the broadcast side with the corpus instead
+    bench = docs.orderBy("doc_id").limit(1000)
+    corpus = docs.join(F.broadcast(bench.select("doc_id")), "doc_id", "left_anti")
+    t0 = time.time()
+    out["decontamination_rows"] = contamination_hits(corpus, bench).count()
+    out["decontamination_sec"] = round(time.time() - t0, 2)
 print(json.dumps(out))
 """
 
@@ -90,14 +100,14 @@ def _gen_docs(n_entities: int) -> str:
     return path
 
 
-def _run_leg(cpus: int, sf_dir: str) -> dict:
+def _run_leg(cpus: int, sf_dir: str, op: str) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", _CHILD, str(cpus), sf_dir],
+        [sys.executable, "-c", _CHILD, str(cpus), sf_dir, op],
         capture_output=True, text=True, cwd=os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))),
     )
     if out.returncode != 0:
-        raise SystemExit(f"leg cpus={cpus} failed:\n{out.stderr[-3000:]}")
+        raise SystemExit(f"leg cpus={cpus} op={op} failed:\n{out.stderr[-3000:]}")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -107,18 +117,19 @@ def main() -> None:
     trials = int(os.environ.get("SCALING_TRIALS", "2"))
     sf_dir = _gen_docs(n_entities)
     lo, hi = legs
-    best = {}
-    for cpus in (lo, hi):
-        runs = [_run_leg(cpus, sf_dir) for _ in range(trials)]
-        for r in runs:
-            print(json.dumps(r), flush=True)
-        best[cpus] = {
-            k: (min(r[k] for r in runs) if k.endswith("_sec") else runs[0][k])
-            for k in runs[0]
-        }
     result = {"probe": "dedup_family", "n_entities": n_entities,
-              "docs": best[lo]["docs"], "legs": legs, "trials": trials}
+              "legs": legs, "trials": trials}
     for op in ("dup_spans", "decontamination"):
+        best = {}
+        for cpus in (lo, hi):
+            runs = [_run_leg(cpus, sf_dir, op) for _ in range(trials)]
+            for r in runs:
+                print(json.dumps(r), flush=True)
+            best[cpus] = {
+                k: (min(r[k] for r in runs) if k.endswith("_sec") else runs[0][k])
+                for k in runs[0]
+            }
+        result.setdefault("docs", best[lo]["docs"])
         eff = (best[lo][op + "_sec"] / best[hi][op + "_sec"]) / (hi / lo)
         result[op] = {
             f"sec_{lo}": best[lo][op + "_sec"],
