@@ -222,34 +222,59 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     document — high values mark boilerplate/spam a training pipeline
     down-weights. One row per document.
 
-    Entirely per-row Catalyst (transform/array_distinct HOFs over the
-    token array): no explode, no shuffle, no UDF — at 10^12 rows this is
-    a pure map stage that fuses into the scan."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = _tokens(F.col("text"))
+    Entirely per-row Catalyst: no explode, no shuffle, no UDF, and no
+    HOF lambdas — at 10^12 rows this is a pure map stage that fuses into
+    the scan.
 
-    def dup_frac(n: int):
-        grams = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        total = F.size(grams)
+    Two hard-won shapes (both measured on the sf0.1 bench):
+
+    1. The tokenization and each gram array are staged as real columns in
+       separate projections. Higher-order-function lambdas evaluate
+       interpreted (outside whole-stage codegen) with NO common-
+       subexpression elimination, so an inline ``toks`` expression would
+       re-run the regex split once per gram position — O(L²) regex work
+       per document (measured 40×). CollapseProject keeps the staging: it
+       refuses to inline non-cheap expressions referenced more than once.
+    2. Grams are ``arrays_zip`` of n shifted slices of the token array —
+       bulk Tungsten copies with no per-element lambda at all (the same
+       zip-sliced shape as ``dedup.dup_spans``' gram relation), another
+       ~35% over a transform-lambda formulation; ``array_distinct`` over
+       the little per-doc struct arrays does the within-doc dedup."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def grams(n: int):
+        toks = F.col("toks")
+        cnt = F.size(toks) - F.lit(n - 1)
         return F.when(
-            total > 0,
+            cnt > 0, F.arrays_zip(*[F.slice(toks, j + 1, cnt) for j in range(n)])
+        )
+
+    def dup_frac(col: str):
+        g = F.col(col)
+        return F.when(
+            F.size(g) > 0,
             F.round(
-                1.0 - F.size(F.array_distinct(grams)) / total.cast("double"), 6
+                1.0 - F.size(F.array_distinct(g)) / F.size(g).cast("double"), 6
             ),
         )
 
-    return docs.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        dup_frac(2).alias("dup_2gram_frac"),
-        dup_frac(3).alias("dup_3gram_frac"),
-    ).orderBy("doc_id")
+    return (
+        docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            grams(2).alias("g2"),
+            grams(3).alias("g3"),
+        )  # g2/g3 NULL for docs shorter than n → dup_frac propagates NULL,
+        # matching the oracle's CASE (size(NULL) is NULL, when(NULL>0) is NULL)
+        .select(
+            "doc_id",
+            "n_tokens",
+            dup_frac("g2").alias("dup_2gram_frac"),
+            dup_frac("g3").alias("dup_3gram_frac"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def _sql_dup_frac(n: int) -> str:
