@@ -75,13 +75,17 @@ ORDER BY doc_id
 
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = _tokens(F.col("text"))
+    # stage the split once: the projection contains a HOF (filter), which
+    # evaluates interpreted with no common-subexpression elimination, so an
+    # inline `toks` would re-run the regex split per reference (4x per row)
+    staged = docs.select("doc_id", "text", _tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     n_chars = F.length("text")
     n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
     n_punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?'\"()-]", ""))
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(_STOP_EN)))
-    return docs.select(
+    return staged.select(
         "doc_id",
         n_chars.alias("n_chars_q"),
         F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
@@ -118,12 +122,30 @@ ORDER BY doc_id
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = F.transform(_tokens(F.col("text")), lambda t: F.lower(t))
+    # three staged projections: the lowered token array is referenced by
+    # four per-language filter HOFs, and each hit count is referenced up to
+    # three more times by the argmax cascade — inline, the regex split
+    # would re-run ~10x per row (HOF expressions evaluate interpreted,
+    # no common-subexpression elimination); CollapseProject keeps the
+    # stages because it refuses to duplicate non-cheap expressions
+    staged = docs.select(
+        "doc_id",
+        F.transform(_tokens(F.col("text")), lambda t: F.lower(t)).alias("toks"),
+    )
 
     def hits(stops: list[str]):
-        return F.size(F.filter(toks, lambda t: t.isin(stops)))
+        return F.size(F.filter(F.col("toks"), lambda t: t.isin(stops)))
 
-    en, de, fr, es = hits(_STOP_EN), hits(_STOP_DE), hits(_STOP_FR), hits(_STOP_ES)
+    counted = staged.select(
+        "doc_id",
+        hits(_STOP_EN).alias("en_hits"),
+        hits(_STOP_DE).alias("de_hits"),
+        hits(_STOP_FR).alias("fr_hits"),
+        hits(_STOP_ES).alias("es_hits"),
+    )
+    en, de, fr, es = (
+        F.col("en_hits"), F.col("de_hits"), F.col("fr_hits"), F.col("es_hits")
+    )
     best = F.greatest(en, de, fr, es)
     pred = (
         F.when(best == 0, F.lit("und"))
@@ -132,12 +154,12 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(fr == best, F.lit("fr"))
         .otherwise(F.lit("es"))
     )
-    return docs.select(
+    return counted.select(
         "doc_id",
-        en.alias("en_hits"),
-        de.alias("de_hits"),
-        fr.alias("fr_hits"),
-        es.alias("es_hits"),
+        "en_hits",
+        "de_hits",
+        "fr_hits",
+        "es_hits",
         pred.alias("lang_pred"),
     ).orderBy("doc_id")
 
@@ -181,15 +203,21 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    toks = _tokens(F.col("text"))
+    # stage the split: inline, the window lambda would re-run the regex
+    # split once per window position (HOF lambdas evaluate interpreted,
+    # no common-subexpression elimination) — O(L^2) regex work per row
+    staged = docs.select(
+        "doc_id", F.md5(norm).alias("fp_norm"), _tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
     n = F.size(toks)
     windows = F.transform(
         F.sequence(F.lit(1), F.greatest(n - F.lit(7), F.lit(0))),
         lambda i: F.md5(F.array_join(F.slice(toks, i, 8), " ")),
     )
-    return docs.select(
+    return staged.select(
         "doc_id",
-        F.md5(norm).alias("fp_norm"),
+        "fp_norm",
         F.when(n >= 8, F.array_min(windows)).alias("fp_minshingle"),
     ).orderBy("doc_id")
 
