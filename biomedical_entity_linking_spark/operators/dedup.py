@@ -65,17 +65,22 @@ def _shingle_relation(docs: DataFrame) -> DataFrame:
 
     Built from Catalyst primitives only: tokens → sequence → transform →
     explode. The df-cap is a groupBy + join (logged drops happen via the
-    relation's own counts — callers can diff)."""
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    n = F.size(toks)
+    relation's own counts — callers can diff).
+
+    The split is staged as a column: the window lambda's body references
+    the token array, and lambda bodies evaluate interpreted with no
+    common-subexpression elimination — inline, the regex split re-ran
+    once per shingle position, O(L²) regex work per row."""
+    toks = F.col("toks")
     shingles = F.transform(
-        F.sequence(F.lit(1), n - F.lit(NGRAM_N - 1)),
+        F.sequence(F.lit(1), F.size(toks) - F.lit(NGRAM_N - 1)),
         lambda i: F.md5(F.array_join(F.slice(toks, i, NGRAM_N), " ")),
     )
     sh = (
         docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
         # guard BEFORE sequence(): Spark errors on start > stop boundaries
-        .filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= NGRAM_N)
+        .filter(F.size(toks) >= NGRAM_N)
         .select("doc_id", F.explode(shingles).alias("sh"))
         .dropDuplicates(["doc_id", "sh"])
     )
@@ -634,10 +639,13 @@ def _gram_occurrences(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
     ``xxhash64`` — 7x faster than building per-gram join strings inside a
     sequence-transform lambda (11.6 s vs 85 s over 14.7M grams at 8
     cores), per-row semantics (no window, no shuffle, duplicate doc_ids
-    can't cross-contaminate), linear in corpus token count."""
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-    n_grams = F.size(toks) - F.lit(w - 1)
+    can't cross-contaminate), linear in corpus token count. The token-hash
+    array is staged as a column: it is referenced by all ``w`` shifted
+    slices in one projection, and without staging each reference re-runs
+    the split + per-token hashing (no common-subexpression elimination
+    outside codegen) — w× repeated work per row."""
+    th = F.col("th")
+    n_grams = F.size(th) - F.lit(w - 1)
     zipped = F.arrays_zip(
         *[F.slice(th, i + 1, n_grams).alias(f"h{i}") for i in range(w)]
     )
@@ -646,8 +654,13 @@ def _gram_occurrences(docs: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
     )
     return (
         docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
         # guard BEFORE slice(): Spark errors on non-positive slice lengths
-        .filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= w)
+        .filter(F.size(F.col("toks")) >= w)
+        .select(
+            "doc_id",
+            F.transform(F.col("toks"), lambda t: F.xxhash64(t)).alias("th"),
+        )
         .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
     )
 
