@@ -103,20 +103,34 @@ def score_components_udf():
     return _udf
 
 
-def _cosine_expr(a, b):
-    """Catalyst-side cosine over two int8-quantized embedding columns:
-    dot / (|a|·|b|) via zip_with + aggregate — JVM expressions, no Arrow
-    transfer. Zero vectors (empty text) yield cosine 0."""
-    def _dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+def _dot_expr(x, y):
+    """JVM-side dot product of two int8-quantized embedding columns via
+    zip_with + aggregate — Catalyst expressions, no Arrow transfer."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
-    num = _dot(a, b)
-    den = F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))
-    return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+def _norm_expr(x):
+    """|x| for an int8-quantized embedding column. Evaluated per RECORD on
+    the feature join sides, never per pair: cosine needs 3 dot products,
+    but two of them depend on one side only — staging the norms turns
+    O(pairs·D) norm work into O(records·D) (and the expressions evaluate
+    interpreted inside HOFs, with no common-subexpression elimination, so
+    an inline denominator referenced twice by the zero-guard would cost
+    4 dots + 2 sqrt per pair). Same float op order as the inline form
+    (sqrt per side, then multiply) → bit-identical scores."""
+    return F.sqrt(_dot_expr(x, x))
+
+
+def _cosine_expr(a, b, norm_a, norm_b):
+    """Catalyst-side cosine: dot(a,b) / (|a|·|b|) with the norms staged as
+    per-record columns (see ``_norm_expr``). Zero vectors (empty text)
+    yield cosine 0."""
+    den = norm_a * norm_b
+    return F.when(den > 0, _dot_expr(a, b) / den).otherwise(F.lit(0.0))
 
 
 def build_features(records: DataFrame) -> DataFrame:
@@ -170,11 +184,13 @@ def score_pairs(
         F.col("rid").alias("rid_a"),
         F.col("norm_title").alias("title_a"),
         F.col("embedding").alias("emb_a"),
+        _norm_expr(F.col("embedding")).alias("norm_a"),
     )
     fb = features.select(
         F.col("rid").alias("rid_b"),
         F.col("norm_title").alias("title_b"),
         F.col("embedding").alias("emb_b"),
+        _norm_expr(F.col("embedding")).alias("norm_b"),
     )
     # AQE coalesces by *bytes*; scored pairs are byte-small but CPU-heavy in
     # the Python kernel, so an explicit round-robin repartition is required
@@ -189,7 +205,10 @@ def score_pairs(
     # arrays never reach the Python boundary either
     with_cos = (
         joined.withColumn(
-            "cosine", _cosine_expr(F.col("emb_a"), F.col("emb_b"))
+            "cosine",
+            _cosine_expr(
+                F.col("emb_a"), F.col("emb_b"), F.col("norm_a"), F.col("norm_b")
+            ),
         )
         .select("rid_a", "rid_b", "title_a", "title_b", "cosine")
         .repartition(n_parts)
