@@ -489,10 +489,28 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = base.unionByName(planted)
     bits = _ivf_bits(aug.count())
     cell = F.shiftright(_cell8_expr(F.col("v")), _MAX_CELL_BITS - bits)
-    e = aug.select("vec_id", "v", cell.alias("cell"))
+
+    # stage |v| per VECTOR (and before the probe explode, so it is never
+    # recomputed per probe replica or per candidate pair — the norm is a
+    # per-vector quantity, and aggregate HOFs evaluate interpreted with no
+    # common-subexpression elimination); float op order matches the
+    # previous inline form (sqrt per side, then multiply) → identical cos
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    e = aug.select(
+        "vec_id", "v", cell.alias("cell"), norm(F.col("v")).alias("nv")
+    )
     probes = e.select(
         "vec_id",
         F.col("v").alias("pv"),
+        F.col("nv").alias("npv"),
         F.explode(
             F.array(*[F.col("cell").bitwiseXOR(F.lit(f)) for f in _PROBE_FLIPS])
         ).alias("cell"),
@@ -503,15 +521,6 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
 
-    def norm(c):
-        return F.sqrt(
-            F.aggregate(
-                F.transform(F.col(c), lambda x: x * x),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-
     pairs = (
         probes.alias("a")
         .join(e.alias("b"), "cell")
@@ -519,7 +528,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            (dot / (norm("pv") * norm("v"))).alias("cos"),
+            (dot / (F.col("npv") * F.col("nv"))).alias("cos"),
         )
         .filter(F.col("cos") >= EMB_NEARDUP_THRESHOLD)
         .dropDuplicates(["vec_a", "vec_b"])
