@@ -13,6 +13,7 @@ checkpoint writes are included (they are part of the job's contract).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -71,8 +72,22 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # --- flagship ER pipeline (docs/sec headline) ---
+    # --- warm-up: touch every input byte before any timed section ---
+    # steady-state measurement: the queries read the same few hundred MB
+    # of parquet repeatedly, so a cold page cache (or a shared disk
+    # recovering its burst credits) would otherwise charge first-touch
+    # read latency to whichever query happens to run first — measured up
+    # to 8x on a single query after heavy campaign I/O. Applies equally
+    # to every run; cold-read behavior is the scan benches' job, not this
+    # harness's.
     pages_path = _pages_parquet(spark, sf_name, n_entities, cache_root)
+    for table in sorted(glob.glob(os.path.join(SF_DIR, "*.parquet"))) + [
+        pages_path
+    ]:
+        # noop write = full JVM-side scan of every column, no Python
+        spark.read.parquet(table).write.format("noop").mode("overwrite").save()
+
+    # --- flagship ER pipeline (docs/sec headline) ---
     pages = spark.read.parquet(pages_path)
     n_pages = pages.count()
     work_dir = os.path.join(cache_root, f"er_run_{sf_name}_{os.getpid()}")
