@@ -460,6 +460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": TA.lang_id,
         "fingerprints": TA.fingerprints,
         "repetition_scores": TA.repetition_scores,
+        # training-mix operators
+        "stratified_sample": TA.stratified_sample,
+        "shard_packing": TA.shard_packing,
+        "vocab_topk": TA.vocab_topk,
         # similarity search + labeled-candidate evaluation
         "cosine_topk": SIM.cosine_topk,
         "ivf_topk": SIM.ivf_topk,
@@ -509,6 +513,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": TA.LANG_ID_SQL,
         "fingerprints": TA.FINGERPRINTS_SQL,
         "repetition_scores": TA.REPETITION_SCORES_SQL,
+        "stratified_sample": TA.STRATIFIED_SAMPLE_SQL,
+        "shard_packing": TA.SHARD_PACKING_SQL,
+        "vocab_topk": TA.VOCAB_TOPK_SQL,
         "cosine_topk": SIM.COSINE_TOPK_SQL,
         "ivf_topk": SIM.IVF_TOPK_SQL,
         "proto_topk": SIM.PROTO_TOPK_SQL,

@@ -330,3 +330,190 @@ SELECT doc_id,
 FROM t
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# training-mix operators: stratified sampling, shard packing, vocabulary
+# --------------------------------------------------------------------------
+
+# demo mixture: downsample the dominant language, keep the tail
+SAMPLE_RATES = {"en": 0.3, "zh": 1.0, "de": 1.0, "fr": 1.0, "es": 1.0}
+SAMPLE_DEFAULT_RATE = 0.1
+SAMPLE_SALT = "mix-v1"
+_U60 = float(1 << 60)  # 15 hex chars of md5 → uniform in [0, 1)
+
+
+def _uniform_expr(col):
+    """Deterministic uniform [0,1) from a key column: md5 is identical in
+    Spark and DuckDB, so the oracle reproduces the exact selection —
+    Spark's xxhash64 has no DuckDB twin (same portability choice as the
+    simhash token hash, ``dedup.py``). Engine-portable, seedable via the
+    salt, and a pure per-row map."""
+    h = F.md5(F.concat(F.lit(SAMPLE_SALT), F.lit(":"), col.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") / F.lit(_U60)
+
+
+def _sql_uniform(expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{SAMPLE_SALT}:' || CAST({expr} AS "
+        f"VARCHAR)), 1, 15)) AS BIGINT) / {_U60!r}"
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sampling — the training-mix
+    reweighting step of a data pipeline (downsample the dominant crawl
+    language, keep the tail). keep ⇔ u(doc_id) < rate(lang), u derived
+    from md5 so reruns, resumes, and the SQL oracle select the identical
+    rows. Pure map: no shuffle, no state — at 10^12 rows this fuses into
+    the scan and the output is a filter pushdown away from free."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rate = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in SAMPLE_RATES.items() for x in kv]
+            ),
+            F.col("lang"),
+        ),
+        F.lit(SAMPLE_DEFAULT_RATE),
+    )
+    return (
+        docs.withColumn("u", _uniform_expr(F.col("doc_id")))
+        .filter(F.col("u") < rate)
+        .select("doc_id", "lang", "source", F.round("u", 6).alias("u"))
+        .orderBy("doc_id")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH u AS (
+  SELECT doc_id, lang, source,
+         {_sql_uniform('doc_id')} AS u
+  FROM documents
+)
+SELECT doc_id, lang, source, round(u, 6) AS u
+FROM u
+WHERE u < CASE lang
+            WHEN 'en' THEN 0.3 WHEN 'zh' THEN 1.0 WHEN 'de' THEN 1.0
+            WHEN 'fr' THEN 1.0 WHEN 'es' THEN 1.0 ELSE {SAMPLE_DEFAULT_RATE} END
+ORDER BY doc_id
+"""
+
+
+PACK_BUDGET = 2048  # tokens per shard
+PACK_STREAMS = 8  # independent packing streams (cluster parallelism knob)
+
+
+def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed token-budget
+    shards — the step between dedup/filter and tokenizer sharding in a
+    training pipeline. Documents are hashed into ``PACK_STREAMS``
+    independent streams and packed sequentially within each (cumulative
+    token count → shard = the budget bucket where the document STARTS).
+
+    Scale shape: ONE hash shuffle on the stream key, then a window per
+    stream — global sequential packing would be a single-partition
+    window (a non-starter at 10^12 rows); per-stream packing is how a
+    distributed packer actually works (each worker packs its own
+    shards), and the stream count is the parallelism knob. The token
+    count is staged (see the module's expression-staging discipline)."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = docs.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(PACK_STREAMS),
+        ).alias("stream"),
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start_tok")
+    return (
+        staged.select(
+            "doc_id",
+            "n_tokens",
+            "stream",
+            F.floor((cum - F.col("n_tokens")) / PACK_BUDGET).alias("shard"),
+            (
+                cum
+                - F.col("n_tokens")
+                - F.floor((cum - F.col("n_tokens")) / PACK_BUDGET) * PACK_BUDGET
+            ).alias("offset_in_shard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SHARD_PACKING_SQL = f"""
+WITH staged AS (
+  SELECT doc_id,
+         CAST(len({_sql_tokens('text')}) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {PACK_STREAMS} AS stream
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, n_tokens, stream,
+         sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM staged
+)
+SELECT doc_id, n_tokens, stream,
+       CAST(floor((cum - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS shard,
+       CAST(cum - n_tokens
+            - floor((cum - n_tokens) / {PACK_BUDGET}) * {PACK_BUDGET}
+            AS BIGINT) AS offset_in_shard
+FROM packed
+ORDER BY doc_id
+"""
+
+
+VOCAB_TOPK = 100
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-k lowercased whitespace tokens by
+    frequency, ties broken by token. One explode + one partial-aggregated
+    shuffle on the token, then TakeOrdered(k) — the count shuffle carries
+    one row per DISTINCT (partition, token) thanks to map-side combine,
+    and the ordered limit never materializes a global sort."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "token"
+            )
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(VOCAB_TOPK)
+    )
+
+
+VOCAB_TOPK_SQL = f"""
+SELECT token, CAST(count(*) AS BIGINT) AS freq
+FROM (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+)
+GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT {VOCAB_TOPK}
+"""

@@ -1,0 +1,76 @@
+"""Training-mix operators: stratified sampling, shard packing, vocab."""
+
+import pytest
+
+from biomedical_entity_linking_spark.operators.text_analysis import (
+    PACK_BUDGET,
+    PACK_STREAMS,
+    SAMPLE_DEFAULT_RATE,
+    SAMPLE_RATES,
+    shard_packing,
+    stratified_sample,
+    vocab_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mix"))
+    rows = []
+    langs = ["en"] * 6 + ["zh", "de", "fr", "es", "xx"]
+    for i in range(2000):
+        lang = langs[i % len(langs)]
+        rows.append((i, f"doc {i} body " + "tok " * (i % 37), lang, "crawl"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark, docs_dir):
+    a = stratified_sample(spark, docs_dir).toPandas()
+    b = stratified_sample(spark, docs_dir).toPandas()
+    assert a.equals(b)  # identical selection on rerun — resumable by design
+    langs = ["en"] * 6 + ["zh", "de", "fr", "es", "xx"]
+    totals = {
+        lang: sum(1 for i in range(2000) if langs[i % len(langs)] == lang)
+        for lang in set(langs)
+    }
+    kept = a.groupby("lang").size().to_dict()
+    frac = {lang: kept.get(lang, 0) / totals[lang] for lang in totals}
+    # keep-everything languages keep everything; sampled ones land near rate
+    for lang in ("zh", "de", "fr", "es"):
+        assert abs(frac[lang] - SAMPLE_RATES[lang]) < 1e-9
+    assert abs(frac["en"] - SAMPLE_RATES["en"]) < 0.08
+    assert abs(frac["xx"] - SAMPLE_DEFAULT_RATE) < 0.08
+    assert (a["u"] < 1.0).all() and (a["u"] >= 0.0).all()
+
+
+def test_shard_packing_invariants(spark, docs_dir):
+    out = shard_packing(spark, docs_dir).toPandas()
+    assert len(out) == 2000  # every document assigned exactly once
+    assert set(out["stream"]) <= set(range(PACK_STREAMS))
+    # a document starts strictly inside its shard's budget window
+    assert (out["offset_in_shard"] >= 0).all()
+    assert (out["offset_in_shard"] < PACK_BUDGET).all()
+    # within a stream, docs pack sequentially: starts are non-decreasing in
+    # doc_id order and each start = previous start + previous n_tokens
+    for _, g in out.sort_values("doc_id").groupby("stream"):
+        starts = (g["shard"] * PACK_BUDGET + g["offset_in_shard"]).to_numpy()
+        expect = (g["n_tokens"].cumsum() - g["n_tokens"]).to_numpy()
+        assert (starts == expect).all()
+
+
+def test_vocab_topk_planted_frequencies(spark, tmp_path):
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "aa aa aa bb bb cc", "en", "s"),
+            (2, "aa bb cc dd", "en", "s"),
+            (3, "", "en", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(f"{d}/documents.parquet")
+    out = vocab_topk(spark, d).toPandas()
+    assert list(out["token"][:4]) == ["aa", "bb", "cc", "dd"]
+    assert list(out["freq"][:4]) == [4, 3, 2, 1]
