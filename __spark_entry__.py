@@ -8,7 +8,7 @@ dedup family, text analysis, similarity search (G8-dispatched ANN with
 size-switch-mirroring oracles), the k-ladder joint-graph family, the
 ranked-candidate evaluation metrics, mention-surface operators, and the
 relational operator-coverage queries (aggregations, joins, windows, set
-ops) on the TPC-H-ish tables — 42 entries, 41 with DuckDB oracles.
+ops) on the TPC-H-ish tables — 45 entries, 44 with DuckDB oracles.
 """
 
 from __future__ import annotations
