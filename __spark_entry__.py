@@ -8,7 +8,7 @@ dedup family, text analysis, similarity search (G8-dispatched ANN with
 size-switch-mirroring oracles), the k-ladder joint-graph family, the
 ranked-candidate evaluation metrics, mention-surface operators, and the
 relational operator-coverage queries (aggregations, joins, windows, set
-ops) on the TPC-H-ish tables — 45 entries, 44 with DuckDB oracles.
+ops) on the TPC-H-ish tables — 46 entries, 45 with DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -464,6 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": TA.stratified_sample,
         "shard_packing": TA.shard_packing,
         "vocab_topk": TA.vocab_topk,
+        "pii_scrub": TA.pii_scrub,
         # similarity search + labeled-candidate evaluation
         "cosine_topk": SIM.cosine_topk,
         "ivf_topk": SIM.ivf_topk,
@@ -516,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": TA.STRATIFIED_SAMPLE_SQL,
         "shard_packing": TA.SHARD_PACKING_SQL,
         "vocab_topk": TA.VOCAB_TOPK_SQL,
+        "pii_scrub": TA.PII_SCRUB_SQL,
         "cosine_topk": SIM.COSINE_TOPK_SQL,
         "ivf_topk": SIM.IVF_TOPK_SQL,
         "proto_topk": SIM.PROTO_TOPK_SQL,

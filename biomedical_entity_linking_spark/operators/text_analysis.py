@@ -517,3 +517,64 @@ GROUP BY token
 ORDER BY freq DESC, token ASC
 LIMIT {VOCAB_TOPK}
 """
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction (pre-training scrub)
+# --------------------------------------------------------------------------
+
+# patterns verified to extract IDENTICALLY under Java regex (Spark) and
+# RE2 (DuckDB) — no lookarounds, no backrefs, POSIX-safe classes
+_PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+_PII_PHONE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrub step every pre-training
+    pipeline runs before anything else sees the text. Counts emails /
+    IPv4s / phone-like digit runs in the original text, then redacts
+    them in sequence (emails → IPs → phones) to typed placeholder
+    tokens; the scrubbed text is emitted as an md5 so the oracle's
+    value-hash certifies the exact redacted bytes without shipping them.
+    Pure per-row regex map: no shuffle, no UDF — fuses into the scan at
+    10^12 rows (regexes are RE2-compatible, so the same operator runs
+    unchanged on engines that compile to RE2)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_IPV4), 0)).alias(
+            "n_ipv4"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_PHONE), 0)).alias(
+            "n_phones"
+        ),
+        F.md5(scrubbed).alias("scrub_md5"),
+    ).orderBy("doc_id")
+
+
+PII_SCRUB_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ipv4,
+       len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g')) AS scrub_md5
+FROM documents
+ORDER BY doc_id
+"""

@@ -74,3 +74,39 @@ def test_vocab_topk_planted_frequencies(spark, tmp_path):
     out = vocab_topk(spark, d).toPandas()
     assert list(out["token"][:4]) == ["aa", "bb", "cc", "dd"]
     assert list(out["freq"][:4]) == [4, 3, 2, 1]
+
+
+def test_pii_scrub_planted(spark, tmp_path):
+    from biomedical_entity_linking_spark.operators.text_analysis import (
+        pii_scrub,
+    )
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@foo-bar.example.com now", "en", "s"),
+            (2, "from 10.0.255.1 and 192.168.0.12 hosts", "en", "s"),
+            (3, "call +1 415-555-0199 today", "en", "s"),
+            (4, "clean text with no pii at all", "en", "s"),
+            (5, "a@b.io and 8.8.8.8 and 00 1234 5678 99", "en", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(f"{d}/documents.parquet")
+    out = pii_scrub(spark, d).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_emails"] == 1 and out.loc[1, "n_phones"] == 0
+    assert out.loc[2, "n_ipv4"] == 2
+    assert out.loc[3, "n_phones"] == 1
+    assert (
+        out.loc[4, ["n_emails", "n_ipv4", "n_phones"]] == 0
+    ).all()
+    assert out.loc[5, "n_emails"] == 1 and out.loc[5, "n_ipv4"] == 1
+    assert out.loc[5, "n_phones"] == 1
+    # redaction: clean text hashes to itself, dirty text does not
+    import hashlib
+
+    assert out.loc[4, "scrub_md5"] == hashlib.md5(
+        b"clean text with no pii at all"
+    ).hexdigest()
+    assert out.loc[1, "scrub_md5"] == hashlib.md5(
+        b"mail <EMAIL> now"
+    ).hexdigest()
