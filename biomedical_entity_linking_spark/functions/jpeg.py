@@ -1,0 +1,485 @@
+"""Baseline JPEG codec — pure numpy + stdlib, written from the public
+ITU-T T.81 spec (baseline sequential DCT, Annex K example tables).
+
+Scope: what a crawl-pipeline FALLBACK needs when Pillow is absent from
+the executor image — 8-bit baseline sequential, 4:4:4 (no chroma
+subsampling) or grayscale, the Annex K quantization + Huffman tables,
+no restart markers, no progressive/arithmetic modes. Out-of-scope
+variants raise ``NotImplementedError`` with an actionable message and
+the pluggable registry prefers Pillow when it IS importable
+(``multimodal.decode_image``).
+
+The encoder exists so the decoder is testable hermetically: encode →
+decode roundtrips must reconstruct within quantization error (PSNR
+gate in ``tests/test_multimodal.py``), the same strategy the PNG codec
+uses. Both directions share the table constants, so the pair certifies
+bit-level agreement of the Huffman coder, the zigzag, the DCT and the
+marker framing with itself — and the framing/tables follow the spec, so
+standard decoders read the output (not verifiable in this container;
+the roundtrip plus spec-sourced constants are the evidence).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# constants (ITU-T T.81 Annex K)
+# --------------------------------------------------------------------------
+
+QUANT_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int32)
+
+QUANT_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int32)
+
+# (BITS counts per code length 1..16, HUFFVAL symbol list) — K.3.3
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _zigzag_order() -> np.ndarray:
+    """The 64-entry zigzag permutation, derived (not transcribed): walk
+    anti-diagonals, alternating direction."""
+    order = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(max(0, s - 7), min(8, s + 1))]
+        if s % 2 == 0:
+            diag.reverse()  # even diagonals walk bottom-left → top-right
+        order.extend(diag)
+    return np.array([r * 8 + c for r, c in order], dtype=np.int64)
+
+
+ZIGZAG = _zigzag_order()  # flat-index order: natural[ZIGZAG[k]] = k-th coeff
+_UNZIGZAG = np.argsort(ZIGZAG)
+
+# orthonormal 8-point DCT-II basis: D = C @ B @ C.T, B = C.T @ D @ C
+_C = np.array([
+    [(np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+     * np.cos((2 * n + 1) * k * np.pi / 16) for n in range(8)]
+    for k in range(8)
+])
+
+
+# --------------------------------------------------------------------------
+# Huffman table construction (canonical codes from BITS/HUFFVAL — C.2)
+# --------------------------------------------------------------------------
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length), canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _build_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol."""
+    return {
+        (length, code): sym for sym, (code, length) in _build_codes(bits, vals).items()
+    }
+
+
+# --------------------------------------------------------------------------
+# bit I/O with 0xFF byte stuffing
+# --------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.bytes = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            b = (self._acc >> self._n) & 0xFF
+            self.bytes.append(b)
+            if b == 0xFF:
+                self.bytes.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("jpeg: truncated entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # unstuff
+                else:
+                    raise ValueError("jpeg: unexpected marker in scan")
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(value: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `size`-bit magnitude to signed value."""
+    if size == 0:
+        return 0
+    return value if value >= (1 << (size - 1)) else value - (1 << size) + 1
+
+
+def _category(v: int) -> int:
+    """Bit-size category of a signed value (0 for 0)."""
+    return int(abs(v)).bit_length()
+
+
+# --------------------------------------------------------------------------
+# encoder
+# --------------------------------------------------------------------------
+
+def _encode_block(
+    writer: _BitWriter,
+    block: np.ndarray,
+    quant: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    dc_pred: int,
+) -> int:
+    coeffs = _C @ block @ _C.T
+    q = np.round(coeffs / quant).astype(np.int64)
+    zz = q.ravel()[ZIGZAG]
+    # DC
+    diff = int(zz[0]) - dc_pred
+    size = _category(diff)
+    code, length = dc_codes[size]
+    writer.write(code, length)
+    if size:
+        writer.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    # AC
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        if k > last_nz:
+            break
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        size = _category(v)
+        code, length = ac_codes[(run << 4) | size]
+        writer.write(code, length)
+        writer.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        writer.write(code, length)
+    return int(zz[0])
+
+
+def _marker(tag: int, body: bytes = b"") -> bytes:
+    if body:
+        return bytes([0xFF, tag]) + (len(body) + 2).to_bytes(2, "big") + body
+    return bytes([0xFF, tag])
+
+
+def encode_jpeg(img: np.ndarray) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 → baseline JFIF bytes."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("jpeg: empty image")
+    if gray:
+        planes = [img.astype(np.float64) - 128.0]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = []
+    for p in planes:
+        pp = np.empty((ph, pw))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1 : h, :]  # edge replicate
+        pp[:, w:] = pp[:, w - 1 : w]
+        padded.append(pp)
+
+    out = bytearray()
+    out += _marker(0xD8)  # SOI
+    out += _marker(
+        0xE0, b"JFIF\x00" + bytes([1, 1, 0]) + (1).to_bytes(2, "big") * 2 + b"\x00\x00"
+    )
+    out += _marker(0xDB, bytes([0]) + bytes(QUANT_LUMA.ravel()[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += _marker(
+            0xDB, bytes([1]) + bytes(QUANT_CHROMA.ravel()[ZIGZAG].astype(np.uint8))
+        )
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # h1v1, quant id
+    out += _marker(0xC0, sof)
+    for tclass, tid, bits, vals in (
+        (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+        (1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
+    ) + (() if gray else (
+        (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+    )):
+        out += _marker(0xC4, bytes([(tclass << 4) | tid] + bits + vals))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += _marker(0xDA, sos)
+
+    dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci in range(ncomp):
+                quant = QUANT_LUMA if ci == 0 else QUANT_CHROMA
+                dc = dc_l if ci == 0 else dc_c
+                ac = ac_l if ci == 0 else ac_c
+                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                preds[ci] = _encode_block(writer, block, quant, dc, ac, preds[ci])
+    writer.flush()
+    out += writer.bytes
+    out += _marker(0xD9)  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# decoder
+# --------------------------------------------------------------------------
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF bytes → uint8 RGB (h, w, 3); grayscale replicates."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    scan_comps = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("jpeg: bad marker framing")
+        tag = payload[pos + 1]
+        pos += 2
+        if tag == 0xD9:  # EOI
+            break
+        if tag in (0x01,) or 0xD0 <= tag <= 0xD7:
+            continue  # parameterless
+        length = int.from_bytes(payload[pos : pos + 2], "big")
+        body = payload[pos + 2 : pos + length]
+        pos += length
+        if tag == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0xF
+                if prec != 0:
+                    raise NotImplementedError("jpeg: 16-bit quant tables")
+                tbl = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
+                if tbl.size != 64:
+                    raise ValueError("jpeg: truncated DQT segment")
+                natural = np.empty(64, dtype=np.int32)
+                natural[ZIGZAG] = tbl
+                quant[tid] = natural.reshape(8, 8)
+                i += 65
+        elif tag == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(body):
+                if i + 17 > len(body):
+                    raise ValueError("jpeg: truncated DHT segment")
+                tclass, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                if len(vals) != n:
+                    raise ValueError("jpeg: truncated DHT segment")
+                (huff_ac if tclass else huff_dc)[tid] = _build_decoder(bits, vals)
+                i += 17 + n
+        elif tag == 0xC0:  # SOF0 baseline
+            precision = body[0]
+            if precision != 8:
+                raise NotImplementedError("jpeg: only 8-bit precision")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, qid = body[6 + 3 * ci : 9 + 3 * ci]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "jpeg: chroma subsampling (only 4:4:4 / grayscale "
+                        "baseline in the built-in codec — install Pillow "
+                        "for subsampled crawl images)"
+                    )
+                comps.append((cid, qid))
+            frame = (h, w, comps)
+        elif tag in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                     0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "jpeg: only baseline sequential (SOF0) in the built-in codec"
+            )
+        elif tag == 0xDD:
+            if int.from_bytes(body[:2], "big") != 0:
+                raise NotImplementedError("jpeg: restart intervals")
+        elif tag == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            scan_comps = []
+            for ci in range(ns):
+                cid, tids = body[1 + 2 * ci], body[2 + 2 * ci]
+                scan_comps.append((cid, tids >> 4, tids & 0xF))
+            break
+    if frame is None or scan_comps is None:
+        raise ValueError("jpeg: missing SOF0/SOS")
+    h, w, comps = frame
+    ncomp = len(comps)
+    reader = _BitReader(payload, pos)
+
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    planes = [np.empty((ph, pw)) for _ in range(ncomp)]
+    preds = [0] * ncomp
+    qmaps = {cid: quant[qid] for cid, qid in comps}
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
+                zz = np.zeros(64, dtype=np.int64)
+                size = _read_symbol(reader, huff_dc[dc_id])
+                diff = _extend(reader.read_bits(size), size) if size else 0
+                preds[ci] += diff
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    sym = _read_symbol(reader, huff_ac[ac_id])
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0xF
+                    k += run
+                    if k > 63:
+                        raise ValueError("jpeg: AC index overflow")
+                    zz[k] = _extend(reader.read_bits(size), size)
+                    k += 1
+                natural = np.empty(64, dtype=np.int64)
+                natural[ZIGZAG] = zz
+                coeffs = natural.reshape(8, 8) * qmaps[cid]
+                block = _C.T @ coeffs @ _C
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    if ncomp == 1:
+        y = np.clip(planes[0][:h, :w] + 128.0, 0, 255)
+        return np.repeat(y.astype(np.uint8)[:, :, None], 3, axis=2)
+    y = planes[0][:h, :w] + 128.0
+    # chroma planes were level-shifted by -128 at encode; the YCbCr→RGB
+    # formula wants (Cb - 128), so the stored plane IS the centered value
+    cb = planes[1][:h, :w]
+    cr = planes[2][:h, :w]
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _read_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid Huffman code")

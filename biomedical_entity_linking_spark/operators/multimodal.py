@@ -1,15 +1,17 @@
 """Multimodal columns: opaque binary payloads + typed metadata + decode.
 
 A 100 TB training-data lakehouse carries image/audio/video as ``binary``
-columns next to text. Decode here is REAL for the three formats that need
+columns next to text. Decode here is REAL for the four formats that need
 no external codec library — 16-bit PCM WAV (RIFF chunk walk +
 ``np.frombuffer``), 24-bpp uncompressed BMP (header parse + padded-row
-reshape), and 8-bit PNG (full chunk walk + CRC check + stdlib-zlib
-inflate + all-five-filter unfiltering in ``decode_png``) — plus a
-nearest-neighbor ``resize`` kernel. Other compressed images (jpeg, and
-the exotic PNG variants) decode through a PLUGGABLE registry: if the
-optional public Pillow dependency is importable on the executors,
-``decode_image`` decodes them for real; otherwise they raise a
+reshape), 8-bit PNG (full chunk walk + CRC check + stdlib-zlib
+inflate + all-five-filter unfiltering in ``decode_png``), and baseline
+JPEG (from-scratch ITU-T T.81 codec in ``functions/jpeg.py``: Annex K
+tables, canonical Huffman, matrix DCT; 4:4:4 + grayscale) — plus a
+nearest-neighbor ``resize`` kernel. Remaining variants (subsampled /
+progressive jpeg, exotic PNG) decode through the PLUGGABLE registry: if
+the optional public Pillow dependency is importable on the executors,
+``decode_image`` prefers it; otherwise unsupported variants raise a
 clearly-marked ``NotImplementedError`` (feature extraction falls back to
 the deterministic stub). Video (mp4) stays a declared stub — ffmpeg is
 out of scope. The dispatch, schema, Arrow batch shape, ``mapInPandas``
@@ -360,16 +362,25 @@ def decode_image(payload: bytes) -> np.ndarray:
             # 16-bit / interlaced variants fall through to Pillow
     if kind in ("jpeg", "png"):
         image_mod = _pil()
-        if image_mod is None:
-            raise NotImplementedError(
-                f"{kind} decode needs the optional Pillow dependency "
-                "(pip install pillow on the executor image) — or "
-                "pre-transcode payloads to PNG/24bpp-BMP for the built-in codecs"
-            )
-        import io
+        if image_mod is not None:
+            # Pillow when present: covers subsampled/progressive jpeg and
+            # the exotic PNG variants
+            import io
 
-        with image_mod.open(io.BytesIO(payload)) as im:
-            return np.asarray(im.convert("RGB"))
+            with image_mod.open(io.BytesIO(payload)) as im:
+                return np.asarray(im.convert("RGB"))
+        if kind == "jpeg":
+            # built-in from-scratch baseline codec (ITU T.81, 4:4:4 or
+            # grayscale); subsampled/progressive variants raise with an
+            # actionable message
+            from ..functions.jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
+        raise NotImplementedError(
+            f"{kind} decode variant needs the optional Pillow dependency "
+            "(pip install pillow on the executor image) — or "
+            "pre-transcode payloads to PNG/24bpp-BMP for the built-in codecs"
+        )
     raise ValueError("unrecognized image payload (not BMP/JPEG/PNG)")
 
 
@@ -408,10 +419,15 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             # odd widths exercise the 4-byte BMP row padding
             width, height = 5 + (i % 4), 4 + (i % 3)
             rgb = rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
-            if (i // 3) % 2 == 0:
+            style = (i // 3) % 3
+            if style == 0:
                 payload = encode_bmp(rgb)
-            else:  # PNG half cycles through every row-filter type
-                payload = encode_png(rgb, filter_type=(i // 6) % 5)
+            elif style == 1:  # PNG cycles through every row-filter type
+                payload = encode_png(rgb, filter_type=(i // 9) % 5)
+            else:  # real baseline JPEG (built-in T.81 codec)
+                from ..functions.jpeg import encode_jpeg
+
+                payload = encode_jpeg(rgb)
             dur_ms = None
         else:
             payload = b"\x00\x00\x00\x18" + bytes(

@@ -178,47 +178,59 @@ class TestPluggableImageCodec:
         assert sniff_image_format(b"garbage!") is None
         assert sniff_image_format(None) is None
 
-    def test_stub_path_raises_actionable_without_pil(self, monkeypatch):
+    def test_baseline_jpeg_decodes_without_pil(self, monkeypatch):
+        """Since the built-in T.81 codec landed, a BASELINE jpeg decodes
+        for real with no Pillow; only unsupported variants (chroma
+        subsampling) still route to the actionable Pillow message."""
         import biomedical_entity_linking_spark.operators.multimodal as M
+        import numpy as np
         import pytest
+        from biomedical_entity_linking_spark.functions.jpeg import encode_jpeg
 
         monkeypatch.setattr(M, "_PIL_CACHE", None)  # simulate absent lib
+        rgb = np.full((9, 11, 3), 77, dtype=np.uint8)
+        out = M.decode_image(encode_jpeg(rgb))
+        assert out.shape == (9, 11, 3)
+        # subsampled SOF0 (patch h1v1 → h2v2 on component 1) raises with
+        # the actionable message
+        payload = bytearray(encode_jpeg(rgb))
+        sof = payload.find(b"\xff\xc0")
+        payload[sof + 11] = 0x22  # comp-1 sampling byte in SOF0
         with pytest.raises(NotImplementedError, match="Pillow"):
-            M.decode_image(self.JPEG_MAGIC)
-        # feature dispatch falls back to the deterministic stub, no crash
+            M.decode_image(bytes(payload))
+        # garbage with a jpeg magic is a ValueError; feature dispatch
+        # falls back to the deterministic stub, no crash
         vec = M._decode_features(self.JPEG_MAGIC, "image")
         assert vec.shape == (M.FEATURE_DIM,)
-        import numpy as np
-
         np.testing.assert_array_equal(
             vec, M._decode_stub(self.JPEG_MAGIC, "image")
         )
 
-    def test_image_features_null_row_for_compressed_without_pil(self, spark):
-        """Operator-level stub path (runs for real in this container: no
-        Pillow in the executors) — undecodable jpeg yields a null row,
-        decodable BMP in the same batch decodes fine."""
+    def test_image_features_null_row_for_corrupt_jpeg(self, spark):
+        """Operator-level fallback: a CORRUPT jpeg payload yields a null
+        row while a real baseline jpeg and a BMP in the same batch decode
+        fine — all through the built-in codecs, no Pillow needed."""
         import numpy as np
 
         import biomedical_entity_linking_spark.operators.multimodal as M
+        from biomedical_entity_linking_spark.functions.jpeg import encode_jpeg
 
-        if M._pil() is not None:
-            import pytest
-
-            pytest.skip("Pillow present: stub path not reachable here")
         bmp = M.encode_bmp(
             np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
         )
+        jpg = encode_jpeg(np.full((3, 5, 3), 50, dtype=np.uint8))
         media = spark.createDataFrame(
             [
                 (1, "u1", "image", self.JPEG_MAGIC, None, None, None),
                 (2, "u2", "image", bytearray(bmp), 4, 2, None),
+                (3, "u3", "image", bytearray(jpg), 5, 3, None),
             ],
             M.MEDIA_SCHEMA,
         )
         rows = {r["media_id"]: r for r in M.image_features(media).collect()}
-        assert rows[1]["width"] is None  # jpeg → null row (codec absent)
+        assert rows[1]["width"] is None  # garbage jpeg → null row
         assert rows[2]["width"] == 4 and rows[2]["height"] == 2
+        assert rows[3]["width"] == 5 and rows[3]["height"] == 3
 
     def test_pil_path_decodes_real_jpeg(self, spark):
         """Lib path: generate a real jpeg with Pillow and decode it through
@@ -387,3 +399,86 @@ class TestPngCodec:
         corrupt = M._PNG_SIG + b"\x00" * 16
         vec = M._decode_features(corrupt, "image")
         np.testing.assert_array_equal(vec, M._decode_stub(corrupt, "image"))
+
+
+class TestBuiltinJpegCodec:
+    """From-scratch baseline T.81 codec: roundtrip is the hermetic proof
+    (same strategy as the PNG codec class above)."""
+
+    def _gradient(self, h, w, seed=7):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(yy * 3 + xx * 2) % 256, (255 - xx * 4) % 256, (yy * 5) % 256],
+            axis=2,
+        ).astype(np.float64)
+        return (0.7 * img + 0.3 * rng.randint(0, 50, (h, w, 3))).astype(
+            np.uint8
+        )
+
+    def test_rgb_roundtrip_psnr(self):
+        import numpy as np
+
+        from biomedical_entity_linking_spark.functions.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = self._gradient(37, 53)  # non-multiple-of-8 dims
+        out = decode_jpeg(encode_jpeg(img))
+        assert out.shape == img.shape
+        mse = ((out.astype(float) - img.astype(float)) ** 2).mean()
+        psnr = 10 * np.log10(255**2 / mse)
+        assert psnr > 30, psnr  # within quantization error
+
+    def test_flat_image_exact(self):
+        import numpy as np
+
+        from biomedical_entity_linking_spark.functions.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        flat = np.full((16, 24, 3), 200, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(flat))
+        assert int(np.abs(out.astype(int) - 200).max()) == 0
+
+    def test_grayscale_roundtrip(self):
+        import numpy as np
+
+        from biomedical_entity_linking_spark.functions.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        g = self._gradient(21, 19)[:, :, 0]
+        out = decode_jpeg(encode_jpeg(g))
+        assert out.shape == (21, 19, 3)
+        assert (out[:, :, 0] == out[:, :, 1]).all()  # replicated channels
+        mse = ((out[:, :, 0].astype(float) - g.astype(float)) ** 2).mean()
+        assert 10 * np.log10(255**2 / mse) > 30
+
+    def test_truncated_stream_raises(self):
+        import pytest
+
+        from biomedical_entity_linking_spark.functions.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        payload = encode_jpeg(self._gradient(16, 16))
+        with pytest.raises(ValueError):
+            decode_jpeg(payload[: len(payload) // 2])
+
+    def test_decodes_in_flow_through_image_features(self, spark):
+        """synthesize_media now emits real jpeg payloads; the operator
+        decodes them with the built-in codec in the Arrow batch path."""
+        import biomedical_entity_linking_spark.operators.multimodal as M
+
+        media = M.synthesize_media(spark, n=30)
+        rows = M.image_features(media).collect()
+        # every synthesized image (bmp, png AND jpeg) decodes to a real row
+        assert all(r["width"] is not None for r in rows)
+        assert len(rows) == 10
