@@ -2,9 +2,10 @@
 ITU-T T.81 spec (baseline sequential DCT, Annex K example tables).
 
 Scope: what a crawl-pipeline FALLBACK needs when Pillow is absent from
-the executor image — 8-bit baseline sequential, 4:4:4 (no chroma
-subsampling) or grayscale, the Annex K quantization + Huffman tables,
-no restart markers, no progressive/arithmetic modes. Out-of-scope
+the executor image — 8-bit baseline sequential; 4:4:4, 4:2:0 (the
+dominant real-world layout; h2v2 MCUs, chroma at half resolution) or
+grayscale; the Annex K quantization + Huffman tables; no restart
+markers, no progressive/arithmetic modes. Out-of-scope
 variants raise ``NotImplementedError`` with an actionable message and
 the pluggable registry prefers Pillow when it IS importable
 (``multimodal.decode_image``).
@@ -263,8 +264,21 @@ def _marker(tag: int, body: bytes = b"") -> bytes:
     return bytes([0xFF, tag])
 
 
-def encode_jpeg(img: np.ndarray) -> bytes:
-    """(h, w) grayscale or (h, w, 3) RGB uint8 → baseline JFIF bytes."""
+def _pad_replicate(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    h, w = p.shape
+    pp = np.empty((ph, pw))
+    pp[:h, :w] = p
+    pp[h:, :w] = p[h - 1 : h, :]  # edge replicate
+    pp[:, w:] = pp[:, w - 1 : w]
+    return pp
+
+
+def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 → baseline JFIF bytes.
+
+    ``subsample=True`` emits 4:2:0 (h2v2 luma, chroma at half resolution
+    via 2×2 mean) — the dominant real-world layout, so the decoder's
+    subsampled path is hermetically testable."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -272,6 +286,7 @@ def encode_jpeg(img: np.ndarray) -> bytes:
         raise ValueError("jpeg: empty image")
     if gray:
         planes = [img.astype(np.float64) - 128.0]
+        samps = [(1, 1)]
     else:
         rgb = img.astype(np.float64)
         r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
@@ -279,15 +294,27 @@ def encode_jpeg(img: np.ndarray) -> bytes:
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        if subsample:
+            he, we = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            halved = []
+            for p in planes[1:]:
+                pe = _pad_replicate(p, he, we)
+                halved.append(
+                    pe.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+                )
+            planes = [planes[0]] + halved
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samps = [(1, 1)] * 3
 
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    padded = []
-    for p in planes:
-        pp = np.empty((ph, pw))
-        pp[:h, :w] = p
-        pp[h:, :w] = p[h - 1 : h, :]  # edge replicate
-        pp[:, w:] = pp[:, w - 1 : w]
-        padded.append(pp)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = [
+        _pad_replicate(p, mcuy * 8 * vi, mcux * 8 * hi)
+        for p, (hi, vi) in zip(planes, samps)
+    ]
 
     out = bytearray()
     out += _marker(0xD8)  # SOI
@@ -302,7 +329,8 @@ def encode_jpeg(img: np.ndarray) -> bytes:
     ncomp = 1 if gray else 3
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # h1v1, quant id
+        hi, vi = samps[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
     out += _marker(0xC0, sof)
     for tclass, tid, bits, vals in (
         (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
@@ -324,14 +352,21 @@ def encode_jpeg(img: np.ndarray) -> bytes:
     ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
     writer = _BitWriter()
     preds = [0] * ncomp
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci in range(ncomp):
+                hi, vi = samps[ci]
                 quant = QUANT_LUMA if ci == 0 else QUANT_CHROMA
                 dc = dc_l if ci == 0 else dc_c
                 ac = ac_l if ci == 0 else ac_c
-                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                preds[ci] = _encode_block(writer, block, quant, dc, ac, preds[ci])
+                for by in range(vi):
+                    for bx in range(hi):
+                        r0 = (my * vi + by) * 8
+                        c0 = (mx * hi + bx) * 8
+                        block = padded[ci][r0 : r0 + 8, c0 : c0 + 8]
+                        preds[ci] = _encode_block(
+                            writer, block, quant, dc, ac, preds[ci]
+                        )
     writer.flush()
     out += writer.bytes
     out += _marker(0xD9)  # EOI
@@ -400,13 +435,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(ncomp):
                 cid, hv, qid = body[6 + 3 * ci : 9 + 3 * ci]
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "jpeg: chroma subsampling (only 4:4:4 / grayscale "
-                        "baseline in the built-in codec — install Pillow "
-                        "for subsampled crawl images)"
-                    )
-                comps.append((cid, qid))
+                comps.append((cid, hv >> 4, hv & 0xF, qid))
+            layouts = {tuple((hi, vi) for _, hi, vi, _ in comps)}
+            if layouts - {((1, 1),), ((1, 1), (1, 1), (1, 1)),
+                          ((2, 2), (1, 1), (1, 1))}:
+                raise NotImplementedError(
+                    "jpeg: only 4:4:4, 4:2:0 and grayscale baseline in the "
+                    "built-in codec — install Pillow for other layouts "
+                    "(4:2:2 etc.)"
+                )
             frame = (h, w, comps)
         elif tag in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                      0xCD, 0xCE, 0xCF):
@@ -429,45 +466,69 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     ncomp = len(comps)
     reader = _BitReader(payload, pos)
 
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    planes = [np.empty((ph, pw)) for _ in range(ncomp)]
+    samps = {cid: (hi, vi) for cid, hi, vi, _ in comps}
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        cid: np.empty((mcuy * 8 * vi, mcux * 8 * hi))
+        for cid, hi, vi, _ in comps
+    }
     preds = [0] * ncomp
-    qmaps = {cid: quant[qid] for cid, qid in comps}
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
+    qmaps = {cid: quant[qid] for cid, _, _, qid in comps}
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
-                zz = np.zeros(64, dtype=np.int64)
-                size = _read_symbol(reader, huff_dc[dc_id])
-                diff = _extend(reader.read_bits(size), size) if size else 0
-                preds[ci] += diff
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    sym = _read_symbol(reader, huff_ac[ac_id])
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    k += run
-                    if k > 63:
-                        raise ValueError("jpeg: AC index overflow")
-                    zz[k] = _extend(reader.read_bits(size), size)
-                    k += 1
-                natural = np.empty(64, dtype=np.int64)
-                natural[ZIGZAG] = zz
-                coeffs = natural.reshape(8, 8) * qmaps[cid]
-                block = _C.T @ coeffs @ _C
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                hi, vi = samps[cid]
+                for by in range(vi):
+                    for bx in range(hi):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = _read_symbol(reader, huff_dc[dc_id])
+                        diff = (
+                            _extend(reader.read_bits(size), size) if size else 0
+                        )
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _read_symbol(reader, huff_ac[ac_id])
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0xF
+                            k += run
+                            if k > 63:
+                                raise ValueError("jpeg: AC index overflow")
+                            zz[k] = _extend(reader.read_bits(size), size)
+                            k += 1
+                        natural = np.empty(64, dtype=np.int64)
+                        natural[ZIGZAG] = zz
+                        coeffs = natural.reshape(8, 8) * qmaps[cid]
+                        block = _C.T @ coeffs @ _C
+                        r0 = (my * vi + by) * 8
+                        c0 = (mx * hi + bx) * 8
+                        planes[cid][r0 : r0 + 8, c0 : c0 + 8] = block
+
+    def _full_res(cid: int) -> np.ndarray:
+        """Crop to content, upsample to (h, w) by pixel replication."""
+        hi, vi = samps[cid]
+        p = planes[cid]
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        return p[:h, :w]
+
+    cids = [cid for cid, _, _, _ in comps]
     if ncomp == 1:
-        y = np.clip(planes[0][:h, :w] + 128.0, 0, 255)
+        y = np.clip(_full_res(cids[0]) + 128.0, 0, 255)
         return np.repeat(y.astype(np.uint8)[:, :, None], 3, axis=2)
-    y = planes[0][:h, :w] + 128.0
+    y = _full_res(cids[0]) + 128.0
     # chroma planes were level-shifted by -128 at encode; the YCbCr→RGB
     # formula wants (Cb - 128), so the stored plane IS the centered value
-    cb = planes[1][:h, :w]
-    cr = planes[2][:h, :w]
+    cb = _full_res(cids[1])
+    cr = _full_res(cids[2])
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb

@@ -7,7 +7,7 @@ no external codec library — 16-bit PCM WAV (RIFF chunk walk +
 reshape), 8-bit PNG (full chunk walk + CRC check + stdlib-zlib
 inflate + all-five-filter unfiltering in ``decode_png``), and baseline
 JPEG (from-scratch ITU-T T.81 codec in ``functions/jpeg.py``: Annex K
-tables, canonical Huffman, matrix DCT; 4:4:4 + grayscale) — plus a
+tables, canonical Huffman, matrix DCT; 4:4:4, 4:2:0 + grayscale) — plus a
 nearest-neighbor ``resize`` kernel. Remaining variants (subsampled /
 progressive jpeg, exotic PNG) decode through the PLUGGABLE registry: if
 the optional public Pillow dependency is importable on the executors,

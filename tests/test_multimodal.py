@@ -191,11 +191,13 @@ class TestPluggableImageCodec:
         rgb = np.full((9, 11, 3), 77, dtype=np.uint8)
         out = M.decode_image(encode_jpeg(rgb))
         assert out.shape == (9, 11, 3)
-        # subsampled SOF0 (patch h1v1 → h2v2 on component 1) raises with
-        # the actionable message
+        # 4:2:0 decodes for real too
+        out420 = M.decode_image(encode_jpeg(rgb, subsample=True))
+        assert out420.shape == (9, 11, 3)
+        # an UNSUPPORTED layout (4:2:2, h2v1) raises the actionable message
         payload = bytearray(encode_jpeg(rgb))
         sof = payload.find(b"\xff\xc0")
-        payload[sof + 11] = 0x22  # comp-1 sampling byte in SOF0
+        payload[sof + 11] = 0x21  # comp-1 sampling byte in SOF0
         with pytest.raises(NotImplementedError, match="Pillow"):
             M.decode_image(bytes(payload))
         # garbage with a jpeg magic is a ValueError; feature dispatch
@@ -432,6 +434,38 @@ class TestBuiltinJpegCodec:
         mse = ((out.astype(float) - img.astype(float)) ** 2).mean()
         psnr = 10 * np.log10(255**2 / mse)
         assert psnr > 30, psnr  # within quantization error
+
+    def test_420_subsampled_roundtrip(self):
+        """4:2:0 — the dominant real-world layout — encodes AND decodes;
+        chroma is 2x2-mean downsampled, so the PSNR bar is slightly lower
+        than 4:4:4 but the payload is smaller."""
+        import numpy as np
+
+        from biomedical_entity_linking_spark.functions.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = self._gradient(37, 53)  # odd dims exercise chroma padding
+        p444 = encode_jpeg(img)
+        p420 = encode_jpeg(img, subsample=True)
+        assert len(p420) < len(p444)
+        out = decode_jpeg(p420)
+        assert out.shape == img.shape
+        mse = ((out.astype(float) - img.astype(float)) ** 2).mean()
+        assert 10 * np.log10(255**2 / mse) > 29
+
+    def test_420_flat_exact(self):
+        import numpy as np
+
+        from biomedical_entity_linking_spark.functions.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        flat = np.full((17, 9, 3), 130, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(flat, subsample=True))
+        assert int(np.abs(out.astype(int) - 130).max()) == 0
 
     def test_flat_image_exact(self):
         import numpy as np
