@@ -39,8 +39,16 @@ spark = get_spark(app_name=f"mixscale{cpus}", cores=cpus,
                   shuffle_partitions=max(parts, 2 * cpus))
 docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 n = docs.count()  # warm scan
+df = getattr(TA, which)(spark, sf_dir)
+# rows-sanity via count() for the row-preserving map ops (count prunes
+# their computed columns, so it is ~free); skipped (-1) for vocab_topk,
+# where count would re-execute the whole aggregate and double the leg
+rows = -1 if which == "vocab_topk" else df.count()
+# timed section is a noop WRITE, not count(): count lets Catalyst prune
+# every computed column (regexes, windows, samples never run) — the
+# map-shaped ops would time the scan alone
 t0 = time.time()
-rows = getattr(TA, which)(spark, sf_dir).count()
+df.write.format("noop").mode("overwrite").save()
 print(json.dumps({"cpus": cpus, "docs": n, "op": which,
                   "rows": rows, "sec": round(time.time() - t0, 2)}))
 """
