@@ -463,6 +463,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if frame is None or scan_comps is None:
         raise ValueError("jpeg: missing SOF0/SOS")
     h, w, comps = frame
+    if len(scan_comps) != len(comps):
+        # legal baseline non-interleaved multi-scan file: the first SOS
+        # covers only a subset of the frame components, and this decoder
+        # reads a single scan — decoding it would leave the remaining
+        # planes as uninitialized memory. Raise so the pluggable/stub
+        # path handles these files instead of emitting silent garbage.
+        raise NotImplementedError(
+            "jpeg: multi-scan baseline (SOS covers "
+            f"{len(scan_comps)}/{len(comps)} frame components) — install "
+            "Pillow or pre-transcode to interleaved baseline"
+        )
     ncomp = len(comps)
     reader = _BitReader(payload, pos)
 

@@ -683,9 +683,11 @@ def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipeline would cut or down-weight before tokenization.
 
     Spark-first shape (pure Catalyst, no UDFs):
-      1. rolling token 8-grams with start positions — ``transform`` over a
-         ``sequence`` + ``posexplode`` (one row per gram occurrence; the
-         relation is linear in corpus token count);
+      1. rolling token 8-grams with start positions — ``arrays_zip`` of
+         the ``w`` shifted slices of the staged token-hash array, combined
+         by multi-arg ``xxhash64`` and ``posexplode``d (one row per gram
+         occurrence; the relation is linear in corpus token count — see
+         ``_gram_occurrences``);
       2. grams duplicated across documents — one hash-shuffle groupBy on
          the gram hash with map-side partial aggregation (hot boilerplate
          grams pre-combine per partition, so skew never concentrates);
@@ -694,10 +696,12 @@ def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       4. islands-and-gaps — per-document window ``pos − row_number()``
          collapses consecutive flagged positions into maximal spans.
 
-    At 10^12 rows the only scale lever is the gram-key width: swap the
-    portable md5 hex for ``xxhash64`` (8-byte shuffle keys, same plan).
-    The suite's planted near-duplicate documents guarantee non-trivial
-    spans at every sf."""
+    Grams are already keyed by 8-byte ``xxhash64`` (the cheapest shuffle
+    key Spark has); at 10^12 rows the remaining scale lever is hash
+    width — swap in a 128-bit hash once the gram count approaches the
+    64-bit birthday bound (~10^8 grams, see ``_gram_occurrences``). The
+    suite's planted near-duplicate documents guarantee non-trivial spans
+    at every sf."""
     from pyspark.sql import Window as W
 
     occ = _gram_occurrences(spark.read.parquet(f"{sf_dir}/documents.parquet"))

@@ -356,10 +356,12 @@ def decode_image(payload: bytes) -> np.ndarray:
     if kind == "png":
         try:
             return decode_png(payload)  # built-in real codec, no deps
-        except NotImplementedError:
+        except (NotImplementedError, ValueError):
             if _pil() is None:
                 raise
-            # 16-bit / interlaced variants fall through to Pillow
+            # 16-bit / interlaced variants — and corrupt-looking files
+            # (CRC mismatch etc.) that a battle-tested decoder may still
+            # salvage — fall through to Pillow
     if kind in ("jpeg", "png"):
         image_mod = _pil()
         if image_mod is not None:
@@ -370,9 +372,9 @@ def decode_image(payload: bytes) -> np.ndarray:
             with image_mod.open(io.BytesIO(payload)) as im:
                 return np.asarray(im.convert("RGB"))
         if kind == "jpeg":
-            # built-in from-scratch baseline codec (ITU T.81, 4:4:4 or
-            # grayscale); subsampled/progressive variants raise with an
-            # actionable message
+            # built-in from-scratch baseline codec (ITU T.81: 4:4:4,
+            # 4:2:0 or grayscale); 4:2:2 / progressive / multi-scan
+            # variants raise with an actionable message
             from ..functions.jpeg import decode_jpeg
 
             return decode_jpeg(payload)

@@ -441,19 +441,16 @@ def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum("n_tokens").over(w)
-    start = (cum - F.col("n_tokens")).alias("start_tok")
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
     return (
         staged.select(
             "doc_id",
             "n_tokens",
             "stream",
-            F.floor((cum - F.col("n_tokens")) / PACK_BUDGET).alias("shard"),
-            (
-                cum
-                - F.col("n_tokens")
-                - F.floor((cum - F.col("n_tokens")) / PACK_BUDGET) * PACK_BUDGET
-            ).alias("offset_in_shard"),
+            F.floor(start / PACK_BUDGET).alias("shard"),
+            (start - F.floor(start / PACK_BUDGET) * PACK_BUDGET).alias(
+                "offset_in_shard"
+            ),
         )
         .orderBy("doc_id")
     )
@@ -505,7 +502,8 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. keep the top ``VOCAB_CAND`` hash-groups (a hash-group's count ≥
        any member token's count, so with C ≥ k + collisions the true
        top-k tokens' hashes are all present — 64-bit over ~10^7 keys has
-       ~10^-5 expected collisions, and C = 100k leaves a 10,000× margin);
+       ~10^-5 expected collisions, and C = 10k leaves a 100× margin
+       over k = 100);
     3. broadcast the candidate hashes, semi-join the token stream, and
        exactly recount the surviving ~C tokens by STRING — a tiny exact
        aggregate that also dissolves any hash collision.

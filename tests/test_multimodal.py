@@ -506,6 +506,36 @@ class TestBuiltinJpegCodec:
         with pytest.raises(ValueError):
             decode_jpeg(payload[: len(payload) // 2])
 
+    def test_multi_scan_baseline_raises(self):
+        """A legal baseline NON-interleaved multi-scan file (first SOS
+        covers fewer components than the frame) must raise — decoding a
+        single scan would leave the other planes as uninitialized memory
+        and emit silent garbage past the stub fallback."""
+        import pytest
+
+        from biomedical_entity_linking_spark.functions.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        payload = bytearray(encode_jpeg(self._gradient(16, 16)))
+        i = payload.find(b"\xff\xda")
+        ln = int.from_bytes(payload[i + 2 : i + 4], "big")
+        body = payload[i + 4 : i + 2 + ln]
+        assert body[0] == 3  # interleaved: SOS covers all 3 components
+        # rewrite the SOS header to a 1-component scan (Y only), keeping
+        # the spectral-selection trailer; entropy bytes are untouched
+        new_body = bytes([1]) + bytes(body[1:3]) + bytes(body[7:10])
+        patched = (
+            bytes(payload[:i])
+            + b"\xff\xda"
+            + (len(new_body) + 2).to_bytes(2, "big")
+            + new_body
+            + bytes(payload[i + 2 + ln :])
+        )
+        with pytest.raises(NotImplementedError, match="multi-scan"):
+            decode_jpeg(patched)
+
     def test_decodes_in_flow_through_image_features(self, spark):
         """synthesize_media now emits real jpeg payloads; the operator
         decodes them with the built-in codec in the Arrow batch path."""

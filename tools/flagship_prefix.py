@@ -1,14 +1,16 @@
-"""Single-process parity oracle for the flagship pipeline's deterministic
-prefix (VERDICT r3 #7).
+"""Single-process parity oracle for the FULL flagship pipeline
+(VERDICT r3 #7, extended through cc/clusters per VERDICT r4 #3).
 
-``er_clusters`` is no-oracle by design (iterative CC), but everything
-upstream of CC — the ``extract``, ``pairs``, and ``score`` checkpoint
-tables — is a pure function of the input pages. This module recomputes
-those tables with an INDEPENDENT single-process composition (pandas +
-DuckDB SQL: global sorts instead of range-partitioned local ranks, one
-flat self-join instead of the persisted/capped distributed plan, direct
-kernel calls instead of Arrow-batched UDFs) and compares rows + schema +
-value hash against the pipeline's checkpoints, CORRECTNESS-style. The
+``er_clusters`` is no-oracle in the driver gate by design (iterative
+CC), but every stage — the ``extract``, ``pairs``, and ``score``
+checkpoint tables, the CC labels, and the final ``clusters`` readoff —
+is a pure function of the input pages. This module recomputes all five
+with an INDEPENDENT single-process composition (pandas + DuckDB SQL:
+global sorts instead of range-partitioned local ranks, one flat
+self-join instead of the persisted/capped distributed plan, direct
+kernel calls instead of Arrow-batched UDFs, union-find instead of the
+distributed star-contraction loop) and compares rows + schema + value
+hash against the pipeline's checkpoints, CORRECTNESS-style. The
 string/embedding kernels themselves are shared pure functions — the
 parity target is the distributed orchestration (repartitions, window
 caps, join/dedup composition, prune masking), which is where a
@@ -183,6 +185,56 @@ def oracle_score(
     return out[survivor].reset_index(drop=True)
 
 
+def oracle_cc(score: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """score → (rid, comp_rid) labels for every edge-touched node, via a
+    plain single-process union-find with a min-rid readoff — independent
+    of the distributed star-contraction loop. Mirrors the reference's own
+    CC primitive (``eval_cluster_linking.py:130-146``: build the pair
+    graph, take ``nx.connected_components``); labels cover exactly the
+    nodes that appear in a thresholded edge, matching the distributed
+    operator's contract."""
+    edges = score[score["score"] >= threshold]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(edges["rid_a"], edges["rid_b"]):
+        a, b = int(a), int(b)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return pd.DataFrame(
+        sorted((n, comp_min[find(n)]) for n in parent),
+        columns=["rid", "comp_rid"],
+    )
+
+
+def oracle_clusters(extract: pd.DataFrame, cc: pd.DataFrame) -> pd.DataFrame:
+    """extract + cc labels → the final clusters table (url, component):
+    singletons label themselves, anchor = the component's min rid, and the
+    component label is the anchor's url — the pipeline's G5 readoff,
+    recomputed with dict lookups instead of joins."""
+    comp_of = dict(zip(cc["rid"], cc["comp_rid"]))
+    url_of = dict(zip(extract["rid"], extract["url"]))
+    rows = [
+        (url, url_of[comp_of.get(int(rid), int(rid))])
+        for url, rid in zip(extract["url"], extract["rid"])
+    ]
+    return pd.DataFrame(rows, columns=["url", "component"])
+
+
 def run(spark, n_entities: int = 400, seed: int = 7):
     """Run the pipeline, recompute the prefix single-process, yield
     (name, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) triples."""
@@ -231,3 +283,29 @@ def run(spark, n_entities: int = 400, seed: int = 7):
     yield "flagship:extract", got_extract, want_extract
     yield "flagship:pairs", got_pairs, want_pairs
     yield "flagship:score", got_score, want_score
+
+    # --- cc: the distributed star-contraction labels over the SAME edge
+    # set (threshold filter over the score checkpoint — the pipeline's
+    # derived view) vs a single-process union-find (VERDICT r4 #3)
+    from biomedical_entity_linking_spark.operators.connected_components import (
+        connected_components,
+    )
+    from biomedical_entity_linking_spark.operators.scoring import (
+        threshold_edges,
+    )
+
+    score_sdf = spark.read.parquet(f"{wd}/score")
+    labels, _ = connected_components(
+        threshold_edges(score_sdf, cfg.threshold), src="rid_a", dst="rid_b"
+    )
+    got_cc = (
+        labels.toPandas()
+        .rename(columns={"url": "rid", "component": "comp_rid"})
+        .astype({"rid": "int64", "comp_rid": "int64"})
+    )
+    want_cc = oracle_cc(want_score, cfg.threshold)
+    yield "flagship:cc", got_cc, want_cc
+
+    got_clusters = read_ckpt("clusters")[["url", "component"]]
+    want_clusters = oracle_clusters(want_extract, want_cc)
+    yield "flagship:clusters", got_clusters, want_clusters
