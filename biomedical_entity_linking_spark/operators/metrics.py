@@ -134,11 +134,26 @@ def candidate_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seq")
         )
     )
-    labs = F.transform(F.col("seq"), lambda s: s["n_label"])
+    # index `seq` per synset position instead of slicing a lowered label
+    # array: a staged `transform(seq, s -> s.n_label)` column is re-inlined
+    # by CollapseProject (single reference), putting an O(k) loop-invariant
+    # transform inside the synset lambda — O(k^2) per row. F.get is 0-based
+    # and NULL-safe out of bounds (ANSI-proof); array_compact restores the
+    # slice semantics (short trailing synsets) when a query has < k
+    # neighbors. Caught by plans.staging_lint.
     n_synsets = N_NEIGHBORS // SYNSET_SIZE
     synsets = F.transform(
         F.sequence(F.lit(0), F.lit(n_synsets - 1)),
-        lambda g: F.array_sort(F.slice(labs, g * SYNSET_SIZE + 1, SYNSET_SIZE)),
+        lambda g: F.array_sort(
+            F.array_compact(
+                F.transform(
+                    F.sequence(
+                        g * SYNSET_SIZE, g * SYNSET_SIZE + (SYNSET_SIZE - 1)
+                    ),
+                    lambda i: F.get(F.col("seq"), i)["n_label"],
+                )
+            )
+        ),
     )
     qa = labels.select("vec_id", F.array(F.col("label")).alias("gold"))
     return ranked.join(qa, "vec_id").select(

@@ -492,13 +492,25 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two-phase exact top-k, engineered for the heavy-tail reality of web
     vocabularies (this corpus: 154M tokens, 33.5M DISTINCT — urls,
-    numbers, typos): a single string-keyed groupBy builds tens of
-    millions of string hash-map entries per executor and spills (measured
-    172 s at 2 cores and NEGATIVELY scaling 258 s at 8, where more
-    concurrent partial-agg maps fight for the same heap). Instead:
+    numbers, typos). The central measured fact (event-log stage metrics,
+    1M docs): a vanilla ``groupBy(hash)`` puts an UNBOUNDED map-side
+    combine map (~6M entries/task) in every task; with a generous heap
+    nothing forces the sort fallback, and concurrent multi-GB random-
+    probe maps inflate the SAME work from 101 CPU-s / 0.5 GC-s at 2
+    cores to 592 CPU-s / 126 GC-s at 8 — negative scaling — while the
+    combine only compresses a heavy-tail vocab 4.6x. So phase 1
+    deliberately skips map-side combine:
 
-    1. count by ``xxhash64(token)`` — 8-byte keys through the map-side
-       combine and the shuffle;
+    1. hash-REPARTITION the raw 8-byte ``xxhash64(token)`` stream, then
+       count — every hash map is bounded at distinct/shuffle_partitions
+       entries (~520k here: cache-resident probes, no GC churn; measured
+       132 s -> 23.7 s at 8 cores/48g heap). The shuffle carries 8-byte
+       keys, sequential I/O. At 100 TB, size shuffle partitions so
+       distinct/partitions x ~48 B fits task memory; the next shuffle-
+       volume lever (not needed here) is a sampled-head hybrid: broadcast
+       a ~50k "probable head" set from a 1% sample and map-side-combine
+       ONLY those tokens (tiny bounded map collapses the Zipf head, the
+       tail goes shuffle-then-count as before);
     2. keep the top ``VOCAB_CAND`` hash-groups (a hash-group's count ≥
        any member token's count, so with C ≥ k + collisions the true
        top-k tokens' hashes are all present — 64-bit over ~10^7 keys has
@@ -518,6 +530,9 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top_hashes = (
         toks.select(F.xxhash64("token").alias("th"))
+        # columns-only repartition → spark.sql.shuffle.partitions-many
+        # BOUNDED count maps; see docstring for the measured rationale
+        .repartition(F.col("th"))
         .groupBy("th")
         .agg(F.count("*").alias("hfreq"))
         .orderBy(F.desc("hfreq"), F.asc("th"))

@@ -16,6 +16,7 @@ the inline pattern) fails loudly instead of silently burning CPU at
 import pytest
 
 from biomedical_entity_linking_spark.operators import dedup, text_analysis
+from biomedical_entity_linking_spark.plans.staging_lint import lint
 
 
 @pytest.fixture(scope="module")
@@ -106,3 +107,86 @@ def test_score_pairs_norms_stage_per_record(spark):
         f"score_pairs: {n_sqrt} sqrt in optimized plan (want 2, one per "
         f"feature side) — norms are being recomputed per pair\n{plan}"
     )
+
+
+# ---------------------------------------------------------------------------
+# generic staging lint (plans.staging_lint, VERDICT r4 #8)
+# ---------------------------------------------------------------------------
+
+def test_lint_catches_loop_invariant_split(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    # the canonical r4 bug shape: a regex split INSIDE a HOF lambda that
+    # ignores the lambda variable — re-tokenizes once per element
+    bad = df.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda g: F.element_at(F.split("text", r"\s+"), g + 1),
+        ).alias("xs")
+    )
+    findings = lint(bad)
+    assert findings and "split" in findings[0], findings
+
+
+def test_lint_passes_per_element_regex(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, ["ab", "cd"])], "doc_id long, toks array<string>"
+    )
+    # per-element regex referencing the lambda variable is legitimate work
+    good = df.select(
+        F.filter(F.col("toks"), lambda t: t.rlike("^a")).alias("hits"),
+        F.transform(
+            F.col("toks"), lambda t: F.regexp_replace(t, "a", "_")
+        ).alias("red"),
+    )
+    assert lint(good) == []
+
+
+def test_lint_sees_through_nested_lambda_scopes(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [["a"], ["b"]])], "doc_id long, xss array<array<string>>"
+    )
+    # an inner HOF whose input depends on the OUTER lambda variable is
+    # loop-dependent at depth 2 — must not be flagged
+    good = df.select(
+        F.transform(
+            F.col("xss"),
+            lambda xs: F.filter(xs, lambda x: x.rlike("^a")),
+        ).alias("out")
+    )
+    assert lint(good) == []
+
+
+def test_lint_clean_on_fixed_operators(spark, docs_dir):
+    # the staged operators must stay lint-clean (regression guard for the
+    # r4 fixes and the r5 metrics synset restructure)
+    for name in ("repetition_scores", "fingerprints", "lang_id",
+                 "quality_scores", "token_stats"):
+        assert lint(getattr(text_analysis, name)(spark, docs_dir)) == [], name
+    docs = spark.read.parquet(f"{docs_dir}/documents.parquet")
+    assert lint(dedup._gram_occurrences(docs)) == []
+
+
+def test_lint_clean_on_candidate_relation(spark, tmp_path):
+    import numpy as np
+    from biomedical_entity_linking_spark.operators.metrics import (
+        candidate_relation,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, int(i % 4), [float(x) for x in rng.normal(size=8)])
+        for i in range(24)
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    # r5 regression: the synset builder held an O(k) transform inside the
+    # per-group lambda (CollapseProject re-inlined the staged column)
+    assert lint(candidate_relation(spark, d)) == []

@@ -11,7 +11,8 @@ sampling operator has its stratification key.
 
 Usage: ``python tools/trainmix_scale_bench.py [n_entities]`` (default
 300_000 ≈ 1M docs); legs via ``SCALING_LEGS`` (default "2,8"), trials
-via ``SCALING_TRIALS`` (default 1).
+via ``SCALING_TRIALS`` (default 1), op subset via ``TRAINMIX_OPS``
+(comma-separated, default all four).
 """
 
 from __future__ import annotations
@@ -101,9 +102,14 @@ def main() -> None:
     trials = int(os.environ.get("SCALING_TRIALS", "1"))
     sf_dir = _augmented_dir(n_entities)
     lo, hi = legs
+    ops = [
+        op
+        for op in os.environ.get("TRAINMIX_OPS", ",".join(_OPS)).split(",")
+        if op in _OPS
+    ]
     result = {"probe": "trainmix", "n_entities": n_entities,
               "legs": legs, "trials": trials}
-    for op in _OPS:
+    for op in ops:
         best = {}
         for cpus in (lo, hi):
             runs = [_run(cpus, sf_dir, op) for _ in range(trials)]
