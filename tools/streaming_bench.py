@@ -10,6 +10,14 @@ and sessionization streams drain the same drops.
 
 Usage: ``python tools/streaming_bench.py [n_entities]`` (default 30_000);
 cores via ``SPARK_GRAFT_CPUS`` (default 16).
+
+State-scale mode (VERDICT r4 #7 — find the ``applyInPandasWithState``
+key-batch knee): ``python tools/streaming_bench.py [n_entities]
+--sessions K1,K2,...`` holds the page volume fixed and sweeps the
+DOMAIN cardinality by rewriting every url's host to one of K synthetic
+domains (``h{xxhash64(url) % K}.x``) before the sessionization stream
+runs — pages/sec at each K isolates per-key state overhead from data
+volume. Runs ONLY the sessionization probe in this mode.
 """
 
 from __future__ import annotations
@@ -34,7 +42,13 @@ def main() -> None:
         stream_pages,
     )
 
-    n_entities = int(sys.argv[1]) if len(sys.argv) > 1 else 30_000
+    args = [a for a in sys.argv[1:]]
+    session_cards: list[int] | None = None
+    if "--sessions" in args:
+        i = args.index("--sessions")
+        session_cards = [int(x) for x in args[i + 1].split(",")]
+        args = args[:i] + args[i + 2 :]
+    n_entities = int(args[0]) if args else 30_000
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
     spark = get_spark(app_name="stream-bench", cores=cpus)
     work = f"/tmp/spark_linkage_scaling/stream_bench_{n_entities}"
@@ -48,6 +62,53 @@ def main() -> None:
         with open(drops + "/_OK", "w") as f:
             f.write("ok")
     n_pages = spark.read.parquet(drops).count()
+
+    if session_cards is not None:
+        from pyspark.sql import functions as F
+
+        out = {"probe": "sessionization_state_scale", "cpus": cpus,
+               "pages": n_pages, "legs": []}
+        for k in session_cards:
+            kd = f"{work}/drops_k{k}"
+            if not os.path.exists(kd + "/_OK"):
+                # host := one of K synthetic domains; path keeps the url
+                # unique so volume and row width stay comparable
+                (spark.read.parquet(drops)
+                    .withColumn(
+                        "url",
+                        F.concat(
+                            F.lit("https://h"),
+                            F.pmod(F.xxhash64("url"), F.lit(k)).cast("string"),
+                            F.lit(".x/p/"),
+                            F.sha1(F.col("url")),
+                        ),
+                    )
+                    .repartition(16).write.mode("overwrite").parquet(kd))
+                with open(kd + "/_OK", "w") as f:
+                    f.write("ok")
+            n_keys = (spark.read.parquet(kd)
+                      .select(F.split_part("url", F.lit("/"), F.lit(3)))
+                      .distinct().count())
+            ck = f"{work}/ckpt_sess_k{k}"
+            shutil.rmtree(ck, ignore_errors=True)
+            t0 = time.time()
+            q = (
+                crawl_sessions(stream_pages(spark, kd + "/*.parquet"))
+                .writeStream.format("noop")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            dt = time.time() - t0
+            out["legs"].append({
+                "domains": k, "distinct_keys": n_keys,
+                "sec": round(dt, 2),
+                "pages_per_sec": round(n_pages / dt),
+            })
+            print(json.dumps(out["legs"][-1]), flush=True)
+        print(json.dumps(out))
+        return
 
     out = {"probe": "streaming_ingest", "cpus": cpus, "pages": n_pages}
 
