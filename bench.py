@@ -168,22 +168,21 @@ def main() -> None:
             timings[name] = retry
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_name,
-                "cpus": CPUS,
-                "er_pages": n_pages,
-                "er_clusters": n_clusters,
-                "er_docs_per_sec": round(n_pages / er_sec, 2),
-                "pairs_capped_frac": round(capped_frac, 6),
-            }
-        )
-    )
+    payload = {
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_name,
+        "cpus": CPUS,
+        "er_pages": n_pages,
+        "er_clusters": n_clusters,
+        "er_docs_per_sec": round(n_pages / er_sec, 2),
+        "pairs_capped_frac": round(capped_frac, 6),
+    }
+    if window_notes:
+        payload["window_notes"] = window_notes
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -490,35 +490,58 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: top-k lowercased whitespace tokens by
     frequency, ties broken by token.
 
-    Two-phase exact top-k, engineered for the heavy-tail reality of web
-    vocabularies (this corpus: 154M tokens, 33.5M DISTINCT — urls,
-    numbers, typos). The central measured fact (event-log stage metrics,
-    1M docs): a vanilla ``groupBy(hash)`` puts an UNBOUNDED map-side
-    combine map (~6M entries/task) in every task; with a generous heap
-    nothing forces the sort fallback, and concurrent multi-GB random-
-    probe maps inflate the SAME work from 101 CPU-s / 0.5 GC-s at 2
-    cores to 592 CPU-s / 126 GC-s at 8 — negative scaling — while the
-    combine only compresses a heavy-tail vocab 4.6x. So phase 1
-    deliberately skips map-side combine:
+    Single-scan exact top-k, engineered for the heavy-tail reality of
+    web vocabularies (this corpus: 154M tokens, 33.5M DISTINCT — urls,
+    numbers, typos). Two measured facts drive the shape (1M docs,
+    isolated-JVM legs; raw logs ``tools/trainmix_campaign_r5_vocab.log``
+    and ``tools/vocab_decompose_r5.log``):
 
-    1. hash-REPARTITION the raw 8-byte ``xxhash64(token)`` stream, then
-       count — every hash map is bounded at distinct/shuffle_partitions
-       entries (~520k here: cache-resident probes, no GC churn; measured
-       132 s -> 23.7 s at 8 cores/48g heap). The shuffle carries 8-byte
-       keys, sequential I/O. At 100 TB, size shuffle partitions so
-       distinct/partitions x ~48 B fits task memory; the next shuffle-
-       volume lever (not needed here) is a sampled-head hybrid: broadcast
-       a ~50k "probable head" set from a 1% sample and map-side-combine
-       ONLY those tokens (tiny bounded map collapses the Zipf head, the
-       tail goes shuffle-then-count as before);
-    2. keep the top ``VOCAB_CAND`` hash-groups (a hash-group's count ≥
-       any member token's count, so with C ≥ k + collisions the true
-       top-k tokens' hashes are all present — 64-bit over ~10^7 keys has
-       ~10^-5 expected collisions, and C = 10k leaves a 100× margin
-       over k = 100);
-    3. broadcast the candidate hashes, semi-join the token stream, and
-       exactly recount the surviving ~C tokens by STRING — a tiny exact
-       aggregate that also dissolves any hash collision.
+    * a vanilla ``groupBy(hash)`` puts an UNBOUNDED map-side combine map
+      (~6M entries/task) in every task; with a generous heap nothing
+      forces the sort fallback, and concurrent multi-GB random-probe
+      maps inflate the SAME work from 101 CPU-s / 0.5 GC-s at 2 cores to
+      592 CPU-s / 126 GC-s at 8 — negative scaling — while the combine
+      only compresses a heavy-tail vocab 4.6x. So the count REPARTITIONS
+      FIRST on the raw 8-byte ``xxhash64(token)`` stream and skips
+      map-side combine: every count map is bounded at
+      distinct/shuffle_partitions entries (~520k here — cache-resident
+      probes, no GC churn).
+    * the earlier two-phase variant (count by hash, then broadcast the
+      candidate hashes and RE-SCAN the corpus to recount by string)
+      spent 73 of its 107 s at 8 cores in the second pass (2→8 eff 0.28
+      for that increment vs 0.79 for the scan+split+explode path and
+      0.58 for the shuffle+count phase). A second full-corpus read is
+      also exactly what you cannot afford at 100 TB.
+
+    So phase 1 now carries ``min(token)``/``max(token)`` per hash group
+    (+~14 B/row of shuffle payload — far cheaper than re-reading the
+    corpus) and the second pass exists only as a lazily-unioned
+    collision-repair branch that in practice never runs:
+
+    1. repartition-then-aggregate ``(count, min(token), max(token))``
+       per 8-byte hash; keep the top ``VOCAB_CAND`` groups via
+       TakeOrdered. A hash-group's count ≥ any member token's count, so
+       with C ≥ k + collisions the true top-k tokens' hashes are all
+       present — 64-bit over ~10^7 keys has ~10^-5 expected collisions,
+       and C = 10k leaves a 100x margin over k = 100. The ≤C-row
+       relation is persisted (KBs) and shared by both branches below.
+    2. groups with ``min(token) == max(token)`` are PROVEN
+       collision-free: their hash count IS the token count — emit
+       directly.
+    3. groups with ``min != max`` (expected none) feed an exact
+       broadcast-semi-join recount by string over the token stream. The
+       branch is lazy; at runtime AQE materializes the (empty) broadcast
+       side first and propagates the empty relation, so the corpus
+       re-scan is pruned, not executed. A planted-collision test can
+       only exercise this path synthetically (two tokens sharing an
+       xxhash64 do not occur in test-sized corpora).
+
+    At 100 TB: one corpus read total; size shuffle partitions so
+    distinct/partitions x ~64 B fits task memory; the next shuffle-
+    volume lever (not needed here) is a sampled-head hybrid — broadcast
+    a ~50k "probable head" set from a 1% sample and map-side-combine
+    ONLY those tokens (a tiny bounded map collapses the Zipf head; the
+    tail goes repartition-then-count as before).
 
     The oracle stays the direct GROUP BY / ORDER BY / LIMIT SQL — output
     equality is the contract, not plan equality."""
@@ -528,22 +551,37 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token"
         )
     )
-    top_hashes = (
-        toks.select(F.xxhash64("token").alias("th"))
+    cand = (
+        toks.select(F.col("token"), F.xxhash64("token").alias("th"))
         # columns-only repartition → spark.sql.shuffle.partitions-many
         # BOUNDED count maps; see docstring for the measured rationale
         .repartition(F.col("th"))
         .groupBy("th")
-        .agg(F.count("*").alias("hfreq"))
+        .agg(
+            F.count("*").alias("hfreq"),
+            F.min("token").alias("tok_min"),
+            F.max("token").alias("tok_max"),
+        )
         .orderBy(F.desc("hfreq"), F.asc("th"))
         .limit(VOCAB_CAND)
-        .select("th")
+        # ≤ VOCAB_CAND rows (KBs): materialized once, read by both the
+        # clean branch and the (empty) collision branch
+        .persist()
     )
-    return (
+    clean = cand.filter(F.col("tok_min") == F.col("tok_max")).select(
+        F.col("tok_min").alias("token"), F.col("hfreq").alias("freq")
+    )
+    dirty_hashes = cand.filter(F.col("tok_min") != F.col("tok_max")).select(
+        "th"
+    )
+    recount = (
         toks.withColumn("th", F.xxhash64("token"))
-        .join(F.broadcast(top_hashes), "th")
+        .join(F.broadcast(dirty_hashes), "th")
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
+    )
+    return (
+        clean.unionByName(recount)
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(VOCAB_TOPK)
     )

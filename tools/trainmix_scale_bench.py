@@ -64,12 +64,15 @@ def _augmented_dir(n_entities: int) -> str:
 
         from biomedical_entity_linking_spark.session import get_spark
 
-        spark = get_spark(app_name="mix-gen", cores=32)
         if not os.path.exists(base + "._OK"):
-            # generate the base corpus via the dedup bench's generator
+            # generate the base corpus FIRST: _gen_docs stops its session
+            # when done, so acquiring ours before it would hand us a
+            # stopped context (it returns the existing session if one is
+            # already live)
             from tools.dedup_scale_bench import _gen_docs
 
             _gen_docs(n_entities)
+        spark = get_spark(app_name="mix-gen", cores=32)
         docs = spark.read.parquet(f"{base}/documents.parquet")
         lang = F.element_at(
             F.array(*[F.lit(x) for x in ("en", "en", "en", "zh", "de",
