@@ -1,0 +1,68 @@
+"""Build ``tools/bench_quiet_ref.json`` — the per-query quiet-window
+reference ``bench.py`` uses to self-annotate shared-disk/host-steal
+outliers (one sanctioned retry + a ``window_notes`` entry in the output
+JSON, VERDICT r4 #2).
+
+The reference is the per-query MINIMUM across every recorded bench run:
+the driver artifacts ``BENCH_r*.json`` (whose ``parsed`` field holds the
+bench JSON line) plus any extra run files passed as arguments (raw
+bench.py output, one JSON line). The minimum across windows IS the
+best-known-quiet number — any single run can be contaminated by host
+steal, but no run can be faster than the box allows.
+
+Usage: ``python tools/build_quiet_ref.py [extra_run.json ...]``
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(ROOT, "tools", "bench_quiet_ref.json")
+
+
+def _queries_from(path: str) -> dict[str, float]:
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    if isinstance(doc, dict) and "queries" in doc:
+        return doc["queries"]
+    parsed = doc.get("parsed") if isinstance(doc, dict) else None
+    if isinstance(parsed, dict) and "queries" in parsed:
+        return parsed["queries"]
+    return {}
+
+
+def main() -> None:
+    sources = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+    sources += [a for a in sys.argv[1:]]
+    ref: dict[str, float] = {}
+    used: list[str] = []
+    for src in sources:
+        qs = _queries_from(src)
+        if not qs:
+            continue
+        used.append(os.path.basename(src))
+        for name, sec in qs.items():
+            if isinstance(sec, (int, float)) and (
+                name not in ref or sec < ref[name]
+            ):
+                ref[name] = sec
+    payload = {
+        "note": "per-query min across recorded bench runs — the "
+        "best-known-quiet reference for bench.py's outlier retry",
+        "sources": used,
+        "queries": ref,
+    }
+    with open(OUT, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    print(json.dumps({"wrote": OUT, "n_queries": len(ref), "sources": used}))
+
+
+if __name__ == "__main__":
+    main()
