@@ -76,6 +76,26 @@ def test_vocab_topk_planted_frequencies(spark, tmp_path):
     assert list(out["freq"][:4]) == [4, 3, 2, 1]
 
 
+def test_vocab_topk_aqe_prunes_collision_repair_scan(spark, tmp_path):
+    """The collision-repair branch (broadcast recount over a second
+    corpus scan) must be pruned at RUNTIME when no hash group collides:
+    AQE materializes the empty broadcast side first and propagates the
+    empty relation, so the executed final plan has no Union and exactly
+    one corpus FileScan — the single-scan contract vocab_topk's 100 TB
+    story rests on."""
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, f"tok{i % 7} common word{i % 3}", "en", "s") for i in range(200)],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(f"{d}/documents.parquet")
+    df = vocab_topk(spark, d)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final_section = executed.split("== Initial Plan ==")[0]
+    assert "Union" not in final_section, "repair branch survived AQE"
+    assert final_section.count("FileScan parquet") == 1, final_section
+
+
 def test_pii_scrub_planted(spark, tmp_path):
     from biomedical_entity_linking_spark.operators.text_analysis import (
         pii_scrub,
