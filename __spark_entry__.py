@@ -27,6 +27,7 @@ from biomedical_entity_linking_spark.operators import multimodal as MM
 from biomedical_entity_linking_spark.operators import metrics as MT
 from biomedical_entity_linking_spark.operators import similarity as SIM
 from biomedical_entity_linking_spark.operators import text_analysis as TA
+from biomedical_entity_linking_spark.operators import weburl as WU
 
 # ---------------------------------------------------------------------------
 # flagship: end-to-end ER pipeline on synthetic pages
@@ -465,6 +466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_packing": TA.shard_packing,
         "vocab_topk": TA.vocab_topk,
         "pii_scrub": TA.pii_scrub,
+        # web-crawl key canonicalization
+        "url_dedup": WU.url_dedup,
+        "host_stats": WU.host_stats,
         # similarity search + labeled-candidate evaluation
         "cosine_topk": SIM.cosine_topk,
         "ivf_topk": SIM.ivf_topk,
@@ -518,6 +522,8 @@ def oracle_sql() -> dict[str, str]:
         "shard_packing": TA.SHARD_PACKING_SQL,
         "vocab_topk": TA.VOCAB_TOPK_SQL,
         "pii_scrub": TA.PII_SCRUB_SQL,
+        "url_dedup": WU.URL_DEDUP_SQL,
+        "host_stats": WU.HOST_STATS_SQL,
         "cosine_topk": SIM.COSINE_TOPK_SQL,
         "ivf_topk": SIM.IVF_TOPK_SQL,
         "proto_topk": SIM.PROTO_TOPK_SQL,
