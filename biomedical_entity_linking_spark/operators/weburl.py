@@ -112,58 +112,70 @@ FROM documents
 """
 
 
-def _canonicalize(urls: DataFrame) -> DataFrame:
-    """url → (canon_host, canon_url), staged projections throughout.
+def canonicalize(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Public API: append ``canon_host`` + ``canon_url`` to ANY DataFrame
+    with a URL column — the reusable front door for user pipelines (the
+    driver queries below are one consumer; a crawl-ingest job calling
+    this right after the WARC scan is the intended other).
 
     RFC-3986-informed normalization: scheme and host lowercase (case-
     insensitive by spec), path case PRESERVED (case-sensitive by spec),
     ``www.`` and default ports stripped, fragment dropped, tracking
     params removed, surviving params sorted, trailing slash collapsed
-    (empty path → ``/``). Each step is its own ``select`` so every
-    regexp runs once per row (expression-staging discipline) and the
-    whole chain stays inside one WholeStageCodegen span.
+    (empty path → ``/``). Idempotent: re-canonicalizing ``canon_url``
+    is a fixed point (pinned by ``tests/test_weburl.py``). Each step is
+    its own ``select`` so every regexp runs once per row (expression-
+    staging discipline) and the whole chain stays inside one
+    WholeStageCodegen span. Input columns pass through untouched;
+    ``canon_host``/``canon_url`` names must be free.
     """
+    keep = list(urls.columns)
+    u = F.col(url_col)
     parts = urls.select(
-        "doc_id",
-        "n_chars",
-        F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1)).alias("scheme"),
-        F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)).alias("hostport"),
-        F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1).alias("path"),
-        F.regexp_extract("url", r"\?([^#]*)", 1).alias("query"),
+        *keep,
+        F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1)).alias("_scheme"),
+        F.lower(F.regexp_extract(u, r"^[A-Za-z]+://([^/?#]+)", 1)).alias("_hostport"),
+        F.regexp_extract(u, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1).alias("_path"),
+        F.regexp_extract(u, r"\?([^#]*)", 1).alias("_query"),
     )
     staged = parts.select(
-        "doc_id",
-        "n_chars",
-        "scheme",
+        *keep,
+        "_scheme",
         F.regexp_replace(
-            F.regexp_replace("hostport", r"^www\.", ""), r":(80|443)$", ""
+            F.regexp_replace("_hostport", r"^www\.", ""), r":(80|443)$", ""
         ).alias("canon_host"),
-        F.regexp_replace("path", r"/+$", "").alias("path_stripped"),
+        F.regexp_replace("_path", r"/+$", "").alias("_path_stripped"),
         F.array_join(
             F.array_sort(
                 F.filter(
-                    F.split("query", "&"),
+                    F.split("_query", "&"),
                     lambda x: (x != "") & (~x.rlike(_TRACKING_RE)),
                 )
             ),
             "&",
-        ).alias("canon_query"),
+        ).alias("_canon_query"),
     )
     return staged.select(
-        "doc_id",
-        "n_chars",
+        *keep,
         "canon_host",
         F.concat(
-            F.col("scheme"),
+            F.col("_scheme"),
             F.lit("://"),
             F.col("canon_host"),
-            F.when(F.col("path_stripped") == "", F.lit("/")).otherwise(
-                F.col("path_stripped")
+            F.when(F.col("_path_stripped") == "", F.lit("/")).otherwise(
+                F.col("_path_stripped")
             ),
             F.when(
-                F.col("canon_query") == "", F.lit("")
-            ).otherwise(F.concat(F.lit("?"), F.col("canon_query"))),
+                F.col("_canon_query") == "", F.lit("")
+            ).otherwise(F.concat(F.lit("?"), F.col("_canon_query"))),
         ).alias("canon_url"),
+    )
+
+
+def _canonicalize(urls: DataFrame) -> DataFrame:
+    """Query-shaped view of :func:`canonicalize` (drops the raw url)."""
+    return canonicalize(urls).select(
+        "doc_id", "n_chars", "canon_host", "canon_url"
     )
 
 

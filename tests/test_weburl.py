@@ -2,6 +2,8 @@
 
 import re
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from biomedical_entity_linking_spark.operators.weburl import (
@@ -105,3 +107,22 @@ def test_no_python_udf_in_plan(spark, url_docs):
         plan = fn(spark, url_docs)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "MapInPandas" not in plan
+
+
+def test_canonicalize_is_idempotent_and_preserves_columns(spark, url_docs):
+    from biomedical_entity_linking_spark.operators.weburl import canonicalize
+
+    urls = _noisy_urls(spark, url_docs)
+    once = canonicalize(urls)
+    # passthrough: every input column survives, plus exactly the two new
+    assert once.columns == urls.columns + ["canon_host", "canon_url"]
+    # fixed point: canonicalizing a canonical URL changes nothing
+    again = canonicalize(
+        once.select("doc_id", F.col("canon_url").alias("url")),
+    )
+    diff = (
+        again.filter(F.col("url") != F.col("canon_url"))
+        .limit(5)
+        .collect()
+    )
+    assert diff == [], diff
