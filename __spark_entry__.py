@@ -469,6 +469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # web-crawl key canonicalization
         "url_dedup": WU.url_dedup,
         "host_stats": WU.host_stats,
+        # near-dup cluster formation (LSH edges → connected components)
+        "neardup_clusters": D.neardup_clusters,
         # similarity search + labeled-candidate evaluation
         "cosine_topk": SIM.cosine_topk,
         "ivf_topk": SIM.ivf_topk,
@@ -524,6 +526,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": TA.PII_SCRUB_SQL,
         "url_dedup": WU.URL_DEDUP_SQL,
         "host_stats": WU.HOST_STATS_SQL,
+        "neardup_clusters": D.NEARDUP_CLUSTERS_SQL,
         "cosine_topk": SIM.COSINE_TOPK_SQL,
         "ivf_topk": SIM.IVF_TOPK_SQL,
         "proto_topk": SIM.PROTO_TOPK_SQL,

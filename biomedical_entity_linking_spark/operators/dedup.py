@@ -299,6 +299,92 @@ ORDER BY doc_a, doc_b
 
 
 # --------------------------------------------------------------------------
+# Near-dup cluster formation (LSH candidates → connected components)
+# --------------------------------------------------------------------------
+
+NEARDUP_CC_THRESH = 0.5  # signature-agreement gate on LSH candidate edges
+
+
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation — the step every training pipeline runs
+    after candidate generation: keep-one-per-group needs the groups, and
+    near-duplication is transitive in effect (A~B, B~C ⇒ drop two of
+    three), so candidate pairs must be closed into components before any
+    doc is dropped. Pairs alone under-delete; this operator finishes the
+    job.
+
+    Plan: MinHash-LSH candidate pairs (the oracle-green relation above),
+    gated at signature agreement ≥ 0.5 → the large-star/small-star
+    distributed CC of ``operators/connected_components`` (local-contract
+    prepass, O(log² n) rounds of groupBy-min + join, per-round
+    localCheckpoint) → per-doc ``(doc_id, cluster, cluster_size)`` for
+    non-singleton clusters, cluster label = min doc_id of the component.
+    At 100 TB every stage is bounded: LSH banding keys the self-join,
+    the agreement gate prunes band false-positives before they reach the
+    edge set, and CC shuffles scale with edges (≈ docs for near-dup
+    graphs), with AQE skew-join splitting on collapsed-star hot roots.
+
+    This is also the first ORACLE-HASHED exercise of the iterative CC
+    operator (the flagship's ``er_clusters`` is rows-only by design):
+    the DuckDB oracle closes the same gated edges with a recursive-CTE
+    transitive closure — tractable at test scale, where component sizes
+    are small — so rows+schema+value-hash certify the component
+    partition itself, not just counters. Reference semantics parity:
+    cluster = connected component of the candidate graph, label = lowest
+    member (``eval_cluster_linking.py:130-146``, ``:149-257``).
+    """
+    from .connected_components import connected_components
+
+    edges = minhash_lsh_candidates(spark, sf_dir).filter(
+        F.col("est_jaccard") >= NEARDUP_CC_THRESH
+    )
+    labels, _ = connected_components(edges, src="doc_a", dst="doc_b")
+    lab = labels.select(
+        F.col("url").alias("doc_id"), F.col("component").alias("cluster")
+    )
+    sizes = lab.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return (
+        lab.join(sizes, "cluster")
+        .filter(F.col("cluster_size") >= 2)
+        .select("doc_id", "cluster", "cluster_size")
+        .orderBy("cluster", "doc_id")
+    )
+
+
+NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+cand AS (
+  SELECT doc_a, doc_b
+  FROM ({MINHASH_LSH_SQL})
+  WHERE est_jaccard >= {NEARDUP_CC_THRESH}
+),
+und AS (
+  SELECT doc_a AS s, doc_b AS d FROM cand
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM cand
+),
+-- transitive closure: reach(a, b) ⇔ a reaches b through gated edges;
+-- UNION (not UNION ALL) dedups accumulated rows, so iteration converges
+reach(a, b) AS (
+  SELECT s, d FROM und
+  UNION
+  SELECT r.a, u.d FROM reach r JOIN und u ON r.b = u.s
+),
+lab AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a
+),
+sizes AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM lab GROUP BY cluster
+)
+SELECT doc_id, cluster, cluster_size
+FROM lab JOIN sizes USING (cluster)
+WHERE cluster_size >= 2
+ORDER BY cluster, doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # SimHash (32-bit, over distinct tokens)
 # --------------------------------------------------------------------------
 
