@@ -1,23 +1,28 @@
-"""Baseline JPEG codec — pure numpy + stdlib, written from the public
-ITU-T T.81 spec (baseline sequential DCT, Annex K example tables).
+"""JPEG codec — pure numpy + stdlib, written from the public ITU-T
+T.81 spec (Annex F sequential, Annex G progressive, Annex K tables).
 
 Scope: what a crawl-pipeline FALLBACK needs when Pillow is absent from
-the executor image — 8-bit baseline sequential; 4:4:4, 4:2:0 (the
-dominant real-world layout; h2v2 MCUs, chroma at half resolution) or
-grayscale; the Annex K quantization + Huffman tables; no restart
-markers, no progressive/arithmetic modes. Out-of-scope
-variants raise ``NotImplementedError`` with an actionable message and
-the pluggable registry prefers Pillow when it IS importable
-(``multimodal.decode_image``).
+the executor image — 8-bit Huffman DCT, sequential (SOF0/SOF1,
+single- or multi-scan) AND progressive (SOF2: spectral selection +
+successive approximation, cross-scan EOB runs, DC/AC refinement);
+4:4:4, 4:2:0 (the dominant real-world layout; h2v2 MCUs, chroma at
+half resolution) or grayscale. Out of scope: 16-bit precision,
+restart intervals, arithmetic coding, hierarchical/lossless modes,
+other sampling layouts (4:2:2 …) — these raise ``NotImplementedError``
+with an actionable message and the pluggable registry prefers Pillow
+when it IS importable (``multimodal.decode_image``). A progressive
+stream cut at a scan boundary still decodes (coarse, as a browser
+renders a partial download); a cut inside a scan raises.
 
-The encoder exists so the decoder is testable hermetically: encode →
+The encoders exist so the decoder is testable hermetically: encode →
 decode roundtrips must reconstruct within quantization error (PSNR
-gate in ``tests/test_multimodal.py``), the same strategy the PNG codec
-uses. Both directions share the table constants, so the pair certifies
-bit-level agreement of the Huffman coder, the zigzag, the DCT and the
-marker framing with itself — and the framing/tables follow the spec, so
-standard decoders read the output (not verifiable in this container;
-the roundtrip plus spec-sourced constants are the evidence).
+gate in ``tests/test_multimodal.py``), and — the stronger check —
+``decode(encode_jpeg(img))`` and ``decode(encode_jpeg_progressive(img))``
+must be BIT-IDENTICAL, since both orderings carry the same quantized
+coefficients through independent entropy codings. The framing/tables
+follow the spec, so standard decoders read the output (not verifiable
+in this container; the roundtrips plus spec-sourced constants are the
+evidence).
 """
 
 from __future__ import annotations
@@ -273,12 +278,11 @@ def _pad_replicate(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
     return pp
 
 
-def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
-    """(h, w) grayscale or (h, w, 3) RGB uint8 → baseline JFIF bytes.
-
-    ``subsample=True`` emits 4:2:0 (h2v2 luma, chroma at half resolution
-    via 2×2 mean) — the dominant real-world layout, so the decoder's
-    subsampled path is hermetically testable."""
+def _prepare_planes(
+    img: np.ndarray, subsample: bool
+) -> tuple[bool, int, int, list, list, int, int]:
+    """Shared encoder front half: color convert, level shift, subsample,
+    MCU-pad. Returns (gray, h, w, padded_planes, samps, mcux, mcuy)."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -315,6 +319,16 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
         _pad_replicate(p, mcuy * 8 * vi, mcux * 8 * hi)
         for p, (hi, vi) in zip(planes, samps)
     ]
+    return gray, h, w, padded, samps, mcux, mcuy
+
+
+def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 → baseline JFIF bytes.
+
+    ``subsample=True`` emits 4:2:0 (h2v2 luma, chroma at half resolution
+    via 2×2 mean) — the dominant real-world layout, so the decoder's
+    subsampled path is hermetically testable."""
+    gray, h, w, padded, samps, mcux, mcuy = _prepare_planes(img, subsample)
 
     out = bytearray()
     out += _marker(0xD8)  # SOI
@@ -374,11 +388,321 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
 
 
 # --------------------------------------------------------------------------
+# progressive encoder (spectral selection + successive approximation)
+# --------------------------------------------------------------------------
+
+# Progressive AC scans need EOBn symbols (run-length codes 0x00..0xE0 for
+# end-of-band runs up to 2^15-1 blocks, T.81 G.1.2.2) which the Annex K
+# sequential AC tables don't define — so the progressive encoder ships its
+# own AC table: every symbol it can emit at a flat 8-bit code length
+# (160 run/size pairs + ZRL + 15 EOBn = 176 ≤ 256; canonical, all-ones
+# code unused). Flat codes cost compression, not correctness — fixtures,
+# not production encoding, are this encoder's job.
+AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+AC_PROG_VALS = (
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [0xF0]
+    + [r << 4 for r in range(15)]
+)
+
+_MAX_EOBRUN = 0x7FFF  # largest run one EOBn symbol covers (r=14 + 14 bits)
+
+
+def _progression_script(ncomp: int) -> list[tuple[list[int], int, int, int, int]]:
+    """(comp_indices, Ss, Se, Ah, Al) per scan — the shape of libjpeg's
+    simple progression: DC first at Al=1 interleaved, AC first passes per
+    component at Al=1, then one refinement sweep of everything to Al=0.
+    Exercises all four scan kinds (DC/AC × first/refine), spectral
+    splitting, and cross-scan EOB runs."""
+    if ncomp == 1:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 1),
+            ([0], 6, 63, 0, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 1),
+        ([2], 1, 63, 0, 1),
+        ([1], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([2], 1, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+
+
+def _quantize_all(padded: list, gray: bool) -> list[np.ndarray]:
+    """Padded planes → per-component (bh, bw, 64) zigzag-ordered quantized
+    coefficients.
+
+    Per-block ``_C @ block @ _C.T`` — the EXPRESSION ``_encode_block``
+    uses, deliberately not a batched einsum: a different float summation
+    order can flip a coefficient sitting exactly on a rounding boundary
+    by one step, and the progressive-vs-baseline bit-identity contract
+    requires both encoders to quantize identically."""
+    out = []
+    for ci, p in enumerate(padded):
+        quant = QUANT_LUMA if ci == 0 else QUANT_CHROMA
+        bh, bw = p.shape[0] // 8, p.shape[1] // 8
+        q = np.empty((bh, bw, 64), dtype=np.int64)
+        for r in range(bh):
+            for c in range(bw):
+                block = p[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8]
+                coeffs = _C @ block @ _C.T
+                q[r, c] = np.round(coeffs / quant).astype(np.int64).ravel()[ZIGZAG]
+        out.append(q)
+    return out
+
+
+def _block_order(
+    scan_idx: list[int], samps: list, h: int, w: int, mcux: int, mcuy: int
+):
+    """Yield (comp_index, block_row, block_col) in scan order: MCU-
+    interleaved when the scan covers >1 component, the component's OWN
+    (non-MCU-padded) block raster when it covers one (T.81 A.2)."""
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    if len(scan_idx) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in scan_idx:
+                    hi, vi = samps[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            yield ci, my * vi + by, mx * hi + bx
+    else:
+        ci = scan_idx[0]
+        hi, vi = samps[ci]
+        bw = (-(-w * hi // hmax) + 7) // 8
+        bh = (-(-h * vi // vmax) + 7) // 8
+        for r in range(bh):
+            for c in range(bw):
+                yield ci, r, c
+
+
+def _enc_dc_scan(
+    writer: _BitWriter,
+    order,
+    coefs: list[np.ndarray],
+    ah: int,
+    al: int,
+    dc_codes: list[dict],
+) -> None:
+    preds: dict[int, int] = {}
+    for ci, r, c in order:
+        v = int(coefs[ci][r, c, 0])
+        if ah == 0:  # first pass: code diffs of the point transform
+            t = v >> al  # DC point transform is an ARITHMETIC shift
+            diff = t - preds.get(ci, 0)
+            preds[ci] = t
+            size = _category(diff)
+            code, length = dc_codes[ci][size]
+            writer.write(code, length)
+            if size:
+                writer.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        else:  # refinement: one raw bit per block
+            writer.write((v >> al) & 1, 1)
+
+
+def _enc_ac_first(
+    writer: _BitWriter,
+    order,
+    coefs: list[np.ndarray],
+    ss: int,
+    se: int,
+    al: int,
+    ac_codes: dict,
+) -> None:
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            rbits = eobrun.bit_length() - 1
+            code, length = ac_codes[rbits << 4]
+            writer.write(code, length)
+            if rbits:
+                writer.write(eobrun - (1 << rbits), rbits)
+            eobrun = 0
+
+    for ci, r, c in order:
+        band = coefs[ci][r, c, ss : se + 1]
+        run = 0
+        for v in band:
+            v = int(v)
+            t = (v >> al) if v >= 0 else -((-v) >> al)  # magnitude shift
+            if t == 0:
+                run += 1
+                continue
+            flush_eob()
+            while run > 15:
+                code, length = ac_codes[0xF0]
+                writer.write(code, length)
+                run -= 16
+            size = _category(t)
+            code, length = ac_codes[(run << 4) | size]
+            writer.write(code, length)
+            writer.write(t if t >= 0 else t + (1 << size) - 1, size)
+            run = 0
+        if run > 0:  # block ends in zeros → it joins an end-of-band run
+            eobrun += 1
+            if eobrun == _MAX_EOBRUN:
+                flush_eob()
+    flush_eob()
+
+
+def _enc_ac_refine(
+    writer: _BitWriter,
+    order,
+    coefs: list[np.ndarray],
+    ss: int,
+    se: int,
+    al: int,
+    ac_codes: dict,
+) -> None:
+    """T.81 G.1.2.3 AC successive-approximation refinement: newly-
+    significant coefficients as run/1 symbols with a sign bit, correction
+    bits for already-significant ones buffered and flushed after the next
+    emitted symbol (or with the pending EOB run)."""
+    eobrun = 0
+    eob_bits: list[int] = []  # corrections owned by the pending EOB run
+    cur_bits: list[int] = []  # corrections since the last emitted symbol
+
+    def flush_cur() -> None:
+        for b in cur_bits:
+            writer.write(b, 1)
+        cur_bits.clear()
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            rbits = eobrun.bit_length() - 1
+            code, length = ac_codes[rbits << 4]
+            writer.write(code, length)
+            if rbits:
+                writer.write(eobrun - (1 << rbits), rbits)
+            for b in eob_bits:
+                writer.write(b, 1)
+            eob_bits.clear()
+            eobrun = 0
+
+    for ci, r, c in order:
+        band = [int(v) for v in coefs[ci][r, c, ss : se + 1]]
+        t = [abs(v) >> al for v in band]
+        # EOB position: past the last NEWLY-significant coefficient,
+        # trailing corrections fold into the EOB run (libjpeg-identical)
+        eobpos = -1
+        for k, tv in enumerate(t):
+            if tv == 1:
+                eobpos = k
+        run = 0
+        for k, tv in enumerate(t):
+            if tv == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eobpos:
+                flush_eob()
+                code, length = ac_codes[0xF0]
+                writer.write(code, length)
+                run -= 16
+                flush_cur()
+            if tv > 1:
+                cur_bits.append(tv & 1)
+                continue
+            flush_eob()
+            code, length = ac_codes[(run << 4) | 1]
+            writer.write(code, length)
+            writer.write(1 if band[k] > 0 else 0, 1)
+            flush_cur()
+            run = 0
+        if run > 0 or cur_bits:
+            eobrun += 1
+            eob_bits.extend(cur_bits)
+            cur_bits.clear()
+            if eobrun == _MAX_EOBRUN:
+                flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_progressive(img: np.ndarray, subsample: bool = False) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 → PROGRESSIVE (SOF2) JFIF
+    bytes, libjpeg-style progression script (DC-first interleaved at
+    Al=1, per-component spectral AC passes, full refinement sweep to
+    Al=0). Same quantizer and sampling as :func:`encode_jpeg`, so the
+    decoded result must be BIT-IDENTICAL to decoding the baseline
+    encoding of the same image — the cross-check the tests pin."""
+    gray, h, w, padded, samps, mcux, mcuy = _prepare_planes(img, subsample)
+    coefs = _quantize_all(padded, gray)
+    ncomp = len(coefs)
+
+    out = bytearray()
+    out += _marker(0xD8)
+    out += _marker(
+        0xE0, b"JFIF\x00" + bytes([1, 1, 0]) + (1).to_bytes(2, "big") * 2 + b"\x00\x00"
+    )
+    out += _marker(0xDB, bytes([0]) + bytes(QUANT_LUMA.ravel()[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += _marker(
+            0xDB, bytes([1]) + bytes(QUANT_CHROMA.ravel()[ZIGZAG].astype(np.uint8))
+        )
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        hi, vi = samps[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += _marker(0xC2, sof)  # SOF2: progressive DCT, Huffman
+    for tclass, tid, bits, vals in (
+        (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+        (1, 0, AC_PROG_BITS, AC_PROG_VALS),
+    ) + (() if gray else ((0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),)):
+        out += _marker(0xC4, bytes([(tclass << 4) | tid] + bits + vals))
+
+    dc_codes = [
+        _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+        if ci == 0
+        else _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+        for ci in range(ncomp)
+    ]
+    ac_codes = _build_codes(AC_PROG_BITS, AC_PROG_VALS)
+
+    for scan_idx, ss, se, ah, al in _progression_script(ncomp):
+        sos = bytes([len(scan_idx)])
+        for ci in scan_idx:
+            dc_id = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (dc_id << 4) | 0])  # AC table 0 shared
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _marker(0xDA, sos)
+        writer = _BitWriter()
+        order = _block_order(scan_idx, samps, h, w, mcux, mcuy)
+        if ss == 0:
+            _enc_dc_scan(writer, order, coefs, ah, al, dc_codes)
+        elif ah == 0:
+            _enc_ac_first(writer, order, coefs, ss, se, al, ac_codes)
+        else:
+            _enc_ac_refine(writer, order, coefs, ss, se, al, ac_codes)
+        writer.flush()
+        out += writer.bytes
+    out += _marker(0xD9)
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
 # decoder
 # --------------------------------------------------------------------------
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → uint8 RGB (h, w, 3); grayscale replicates."""
+    """JFIF bytes → uint8 RGB (h, w, 3); grayscale replicates.
+
+    Handles baseline (SOF0), extended sequential (SOF1, identical at
+    8-bit precision) and PROGRESSIVE (SOF2: spectral selection +
+    successive approximation, T.81 Annex G) — including multi-scan
+    sequential files (each scan a component subset). All scans decode
+    into per-component coefficient arrays; dequantization + IDCT run
+    once, vectorized over every block, after the last scan.
+    """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
@@ -386,11 +710,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
-    scan_comps = None
+    progressive = False
+    coefs: dict[int, np.ndarray] = {}
+    geom: dict[int, tuple] = {}
+    scanned: set[int] = set()
+    mcux = mcuy = hmax = vmax = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("jpeg: bad marker framing")
         tag = payload[pos + 1]
+        if tag == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         pos += 2
         if tag == 0xD9:  # EOI
             break
@@ -425,7 +756,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError("jpeg: truncated DHT segment")
                 (huff_ac if tclass else huff_dc)[tid] = _build_decoder(bits, vals)
                 i += 17 + n
-        elif tag == 0xC0:  # SOF0 baseline
+        elif tag in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            if frame is not None:
+                raise ValueError("jpeg: multiple SOF markers")
+            progressive = tag == 0xC2
             precision = body[0]
             if precision != 8:
                 raise NotImplementedError("jpeg: only 8-bit precision")
@@ -440,88 +774,68 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if layouts - {((1, 1),), ((1, 1), (1, 1), (1, 1)),
                           ((2, 2), (1, 1), (1, 1))}:
                 raise NotImplementedError(
-                    "jpeg: only 4:4:4, 4:2:0 and grayscale baseline in the "
+                    "jpeg: only 4:4:4, 4:2:0 and grayscale in the "
                     "built-in codec — install Pillow for other layouts "
                     "(4:2:2 etc.)"
                 )
             frame = (h, w, comps)
-        elif tag in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(hi for _, hi, _, _ in comps)
+            vmax = max(vi for _, _, vi, _ in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for cid, hi, vi, _ in comps:
+                # storage on the MCU-padded grid; non-interleaved scans
+                # touch only the component's own ceil(samples/8) subgrid
+                bw = (-(-w * hi // hmax) + 7) // 8
+                bh = (-(-h * vi // vmax) + 7) // 8
+                coefs[cid] = np.zeros(
+                    (mcuy * vi, mcux * hi, 64), dtype=np.int32
+                )
+                geom[cid] = (hi, vi, bh, bw)
+        elif tag in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                      0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "jpeg: only baseline sequential (SOF0) in the built-in codec"
+                "jpeg: only Huffman sequential/progressive DCT (SOF0/1/2) "
+                "in the built-in codec"
             )
         elif tag == 0xDD:
             if int.from_bytes(body[:2], "big") != 0:
                 raise NotImplementedError("jpeg: restart intervals")
-        elif tag == 0xDA:  # SOS — entropy data follows
+        elif tag == 0xDA:  # SOS: decode one scan's entropy data
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
             ns = body[0]
             scan_comps = []
             for ci in range(ns):
                 cid, tids = body[1 + 2 * ci], body[2 + 2 * ci]
                 scan_comps.append((cid, tids >> 4, tids & 0xF))
-            break
-    if frame is None or scan_comps is None:
-        raise ValueError("jpeg: missing SOF0/SOS")
+                scanned.add(cid)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            pos = _decode_scan(
+                payload, pos, scan_comps, ss, se, ah, al, progressive,
+                coefs, geom, huff_dc, huff_ac, mcux, mcuy,
+            )
+    if frame is None or not scanned:
+        raise ValueError("jpeg: missing SOF/SOS")
     h, w, comps = frame
-    if len(scan_comps) != len(comps):
-        # legal baseline non-interleaved multi-scan file: the first SOS
-        # covers only a subset of the frame components, and this decoder
-        # reads a single scan — decoding it would leave the remaining
-        # planes as uninitialized memory. Raise so the pluggable/stub
-        # path handles these files instead of emitting silent garbage.
-        raise NotImplementedError(
-            "jpeg: multi-scan baseline (SOS covers "
-            f"{len(scan_comps)}/{len(comps)} frame components) — install "
-            "Pillow or pre-transcode to interleaved baseline"
-        )
-    ncomp = len(comps)
-    reader = _BitReader(payload, pos)
+    missing = {cid for cid, _, _, _ in comps} - scanned
+    if missing:
+        raise ValueError(f"jpeg: components without scan data: {missing}")
+
+    # dequantize + IDCT, vectorized across all blocks of each component
+    planes = {}
+    for cid, _, _, qid in comps:
+        zz = coefs[cid]
+        bh, bw = zz.shape[0], zz.shape[1]
+        natural = np.empty((bh, bw, 64), dtype=np.float64)
+        natural[..., ZIGZAG] = zz
+        deq = natural.reshape(bh, bw, 8, 8) * quant[qid]
+        blocks = np.einsum("ab,xybc,cd->xyad", _C.T, deq, _C)
+        planes[cid] = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
 
     samps = {cid: (hi, vi) for cid, hi, vi, _ in comps}
-    hmax = max(hi for _, hi, _, _ in comps)
-    vmax = max(vi for _, _, vi, _ in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = {
-        cid: np.empty((mcuy * 8 * vi, mcux * 8 * hi))
-        for cid, hi, vi, _ in comps
-    }
-    preds = [0] * ncomp
-    qmaps = {cid: quant[qid] for cid, _, _, qid in comps}
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
-                hi, vi = samps[cid]
-                for by in range(vi):
-                    for bx in range(hi):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = _read_symbol(reader, huff_dc[dc_id])
-                        diff = (
-                            _extend(reader.read_bits(size), size) if size else 0
-                        )
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            sym = _read_symbol(reader, huff_ac[ac_id])
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            run, size = sym >> 4, sym & 0xF
-                            k += run
-                            if k > 63:
-                                raise ValueError("jpeg: AC index overflow")
-                            zz[k] = _extend(reader.read_bits(size), size)
-                            k += 1
-                        natural = np.empty(64, dtype=np.int64)
-                        natural[ZIGZAG] = zz
-                        coeffs = natural.reshape(8, 8) * qmaps[cid]
-                        block = _C.T @ coeffs @ _C
-                        r0 = (my * vi + by) * 8
-                        c0 = (mx * hi + bx) * 8
-                        planes[cid][r0 : r0 + 8, c0 : c0 + 8] = block
 
     def _full_res(cid: int) -> np.ndarray:
         """Crop to content, upsample to (h, w) by pixel replication."""
@@ -532,7 +846,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         return p[:h, :w]
 
     cids = [cid for cid, _, _, _ in comps]
-    if ncomp == 1:
+    if len(comps) == 1:
         y = np.clip(_full_res(cids[0]) + 128.0, 0, 255)
         return np.repeat(y.astype(np.uint8)[:, :, None], 3, axis=2)
     y = _full_res(cids[0]) + 128.0
@@ -545,6 +859,157 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _scan_order(scan_comps, geom, mcux, mcuy):
+    """(cid, dc_id, ac_id, block_row, block_col) in scan order — MCU-
+    interleaved for multi-component scans, the component's own block
+    raster for single-component scans (T.81 A.2)."""
+    if len(scan_comps) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for cid, dc_id, ac_id in scan_comps:
+                    hi, vi = geom[cid][0], geom[cid][1]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            yield cid, dc_id, ac_id, my * vi + by, mx * hi + bx
+    else:
+        cid, dc_id, ac_id = scan_comps[0]
+        bh, bw = geom[cid][2], geom[cid][3]
+        for r in range(bh):
+            for c in range(bw):
+                yield cid, dc_id, ac_id, r, c
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    scan_comps,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    progressive: bool,
+    coefs,
+    geom,
+    huff_dc,
+    huff_ac,
+    mcux: int,
+    mcuy: int,
+) -> int:
+    """Decode one scan's entropy data into the coefficient arrays;
+    return the byte offset of the next marker."""
+    reader = _BitReader(data, pos)
+    order = _scan_order(scan_comps, geom, mcux, mcuy)
+    if progressive and not (
+        (ss == 0 and se == 0) or (0 < ss <= se <= 63 and len(scan_comps) == 1)
+    ):
+        raise ValueError("jpeg: illegal progressive scan parameters")
+    if not progressive and not (ss == 0 and se == 63 and ah == 0 and al == 0):
+        raise ValueError("jpeg: illegal sequential scan parameters")
+
+    if ss == 0 and (se == 0 or not progressive):
+        if ah == 0:  # DC first (or full sequential scan)
+            preds: dict[int, int] = {}
+            for cid, dc_id, ac_id, r, c in order:
+                blk = coefs[cid][r, c]
+                size = _read_symbol(reader, huff_dc[dc_id])
+                diff = _extend(reader.read_bits(size), size) if size else 0
+                preds[cid] = preds.get(cid, 0) + diff
+                blk[0] = preds[cid] << al
+                if not progressive:  # sequential: AC follows in-block
+                    k = 1
+                    while k <= se:
+                        sym = _read_symbol(reader, huff_ac[ac_id])
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        run, sz = sym >> 4, sym & 0xF
+                        k += run
+                        if k > se:
+                            raise ValueError("jpeg: AC index overflow")
+                        blk[k] = _extend(reader.read_bits(sz), sz)
+                        k += 1
+        else:  # DC refinement: one raw bit per block
+            for cid, _dc_id, _ac_id, r, c in order:
+                if reader.read_bit():
+                    coefs[cid][r, c, 0] |= 1 << al
+    elif ah == 0:  # AC first pass (progressive, single component)
+        eobrun = 0
+        for cid, _dc_id, ac_id, r, c in order:
+            blk = coefs[cid][r, c]
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = _read_symbol(reader, huff_ac[ac_id])
+                run, sz = sym >> 4, sym & 0xF
+                if sz == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += reader.read_bits(run)
+                    break
+                k += run
+                if k > se:
+                    raise ValueError("jpeg: AC index overflow")
+                blk[k] = _extend(reader.read_bits(sz), sz) << al
+                k += 1
+    else:  # AC refinement (T.81 G.2.2 / libjpeg decode_mcu_AC_refine)
+        p1, m1 = 1 << al, -(1 << al)
+        eobrun = 0
+        for cid, _dc_id, ac_id, r, c in order:
+            blk = coefs[cid][r, c]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = _read_symbol(reader, huff_ac[ac_id])
+                    run, sz = sym >> 4, sym & 0xF
+                    val = 0
+                    if sz == 0:
+                        if run != 15:  # EOBn: run covers this block too
+                            eobrun = 1 << run
+                            if run:
+                                eobrun += reader.read_bits(run)
+                            break
+                        # ZRL: skip 16 zero-history positions
+                    else:
+                        if sz != 1:
+                            raise ValueError("jpeg: bad AC-refine size")
+                        val = p1 if reader.read_bit() else m1
+                    while k <= se:
+                        if blk[k] != 0:
+                            if reader.read_bit() and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] > 0 else m1
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if val and k <= se:
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                # correction bits for the rest of the band, then for every
+                # block the run covers
+                while k <= se:
+                    if blk[k] != 0 and reader.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                    k += 1
+                eobrun -= 1
+
+    # scan entropy data ends at the next marker (fill 0xFFs belong to it)
+    p = reader.pos
+    while p + 1 < len(data) and not (
+        data[p] == 0xFF and data[p + 1] not in (0x00,)
+    ):
+        p += 1
+    return p
 
 
 def _read_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:

@@ -5,11 +5,13 @@ columns next to text. Decode here is REAL for the four formats that need
 no external codec library — 16-bit PCM WAV (RIFF chunk walk +
 ``np.frombuffer``), 24-bpp uncompressed BMP (header parse + padded-row
 reshape), 8-bit PNG (full chunk walk + CRC check + stdlib-zlib
-inflate + all-five-filter unfiltering in ``decode_png``), and baseline
-JPEG (from-scratch ITU-T T.81 codec in ``functions/jpeg.py``: Annex K
-tables, canonical Huffman, matrix DCT; 4:4:4, 4:2:0 + grayscale) — plus a
-nearest-neighbor ``resize`` kernel. Remaining variants (subsampled /
-progressive jpeg, exotic PNG) decode through the PLUGGABLE registry: if
+inflate + all-five-filter unfiltering in ``decode_png``), and JPEG —
+both baseline/multi-scan sequential AND progressive (from-scratch
+ITU-T T.81 codec in ``functions/jpeg.py``: Annex K tables, canonical
+Huffman, matrix DCT, spectral selection + successive approximation;
+4:4:4, 4:2:0 + grayscale) — plus a nearest-neighbor ``resize`` kernel.
+Remaining variants (4:2:2 / restart-interval / arithmetic jpeg, exotic
+PNG) decode through the PLUGGABLE registry: if
 the optional public Pillow dependency is importable on the executors,
 ``decode_image`` prefers it; otherwise unsupported variants raise a
 clearly-marked ``NotImplementedError`` (feature extraction falls back to
@@ -343,13 +345,14 @@ def sniff_image_format(payload: bytes) -> str | None:
 def decode_image(payload: bytes) -> np.ndarray:
     """Image decode dispatch → uint8 (h, w, 3) RGB.
 
-    BMP and 8-bit PNG decode with the built-in pure-numpy/zlib codecs —
-    no external dependency. jpeg (and 16-bit/interlaced PNG) decode for
-    REAL when Pillow is importable (optional public dependency — the core
-    never requires it); without it they raise ``NotImplementedError`` with
-    an actionable message, exactly the declared-stub boundary. A real
-    100 TB crawl is overwhelmingly jpeg, so a production deployment ships
-    Pillow in the executor image and this same code path decodes it."""
+    BMP, 8-bit PNG and jpeg (baseline AND progressive, 4:4:4 / 4:2:0 /
+    grayscale — ``functions/jpeg.py``) decode with the built-in
+    pure-numpy codecs — no external dependency. The residual variants
+    (16-bit/interlaced PNG, 4:2:2 / restart-interval / arithmetic jpeg)
+    decode for REAL when Pillow is importable (optional public
+    dependency — the core never requires it); without it they raise
+    ``NotImplementedError`` with an actionable message, exactly the
+    declared-stub boundary."""
     kind = sniff_image_format(payload)
     if kind == "bmp":
         return decode_bmp(payload)
@@ -372,9 +375,10 @@ def decode_image(payload: bytes) -> np.ndarray:
             with image_mod.open(io.BytesIO(payload)) as im:
                 return np.asarray(im.convert("RGB"))
         if kind == "jpeg":
-            # built-in from-scratch baseline codec (ITU T.81: 4:4:4,
-            # 4:2:0 or grayscale); 4:2:2 / progressive / multi-scan
-            # variants raise with an actionable message
+            # built-in from-scratch codec (ITU T.81: sequential +
+            # progressive; 4:4:4, 4:2:0 or grayscale); 4:2:2 /
+            # restart-interval / arithmetic variants raise with an
+            # actionable message
             from ..functions.jpeg import decode_jpeg
 
             return decode_jpeg(payload)

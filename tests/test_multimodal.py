@@ -506,11 +506,11 @@ class TestBuiltinJpegCodec:
         with pytest.raises(ValueError):
             decode_jpeg(payload[: len(payload) // 2])
 
-    def test_multi_scan_baseline_raises(self):
-        """A legal baseline NON-interleaved multi-scan file (first SOS
-        covers fewer components than the frame) must raise — decoding a
-        single scan would leave the other planes as uninitialized memory
-        and emit silent garbage past the stub fallback."""
+    def test_uncovered_components_raise_not_garbage(self):
+        """A file whose scans never cover every frame component must
+        raise — silently emitting planes that no scan initialized would
+        defeat the stub fallback. (Round 5: multi-scan files themselves
+        now DECODE; only incomplete coverage is an error.)"""
         import pytest
 
         from biomedical_entity_linking_spark.functions.jpeg import (
@@ -524,7 +524,9 @@ class TestBuiltinJpegCodec:
         body = payload[i + 4 : i + 2 + ln]
         assert body[0] == 3  # interleaved: SOS covers all 3 components
         # rewrite the SOS header to a 1-component scan (Y only), keeping
-        # the spectral-selection trailer; entropy bytes are untouched
+        # the spectral-selection trailer; entropy bytes are untouched —
+        # whether the misaligned stream trips Huffman decode first or the
+        # coverage check at EOI, the contract is ValueError, not garbage
         new_body = bytes([1]) + bytes(body[1:3]) + bytes(body[7:10])
         patched = (
             bytes(payload[:i])
@@ -533,8 +535,158 @@ class TestBuiltinJpegCodec:
             + new_body
             + bytes(payload[i + 2 + ln :])
         )
-        with pytest.raises(NotImplementedError, match="multi-scan"):
+        with pytest.raises(ValueError):
             decode_jpeg(patched)
+
+    def test_multi_scan_sequential_decodes_identically(self):
+        """A legal baseline NON-interleaved multi-scan file (one SOS per
+        component, Ss=0 Se=63) must decode bit-identically to the
+        interleaved encoding of the same image — both carry the same
+        quantized coefficients."""
+        import numpy as np
+
+        from biomedical_entity_linking_spark.functions import jpeg as J
+
+        img = self._gradient(24, 24)
+        gray, h, w, padded, samps, mcux, mcuy = J._prepare_planes(img, False)
+
+        out = bytearray()
+        out += J._marker(0xD8)
+        out += J._marker(
+            0xE0,
+            b"JFIF\x00" + bytes([1, 1, 0]) + (1).to_bytes(2, "big") * 2 + b"\x00\x00",
+        )
+        out += J._marker(
+            0xDB,
+            bytes([0]) + bytes(J.QUANT_LUMA.ravel()[J.ZIGZAG].astype(np.uint8)),
+        )
+        out += J._marker(
+            0xDB,
+            bytes([1]) + bytes(J.QUANT_CHROMA.ravel()[J.ZIGZAG].astype(np.uint8)),
+        )
+        sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+        for ci in range(3):
+            sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        out += J._marker(0xC0, sof)
+        for tclass, tid, bits, vals in (
+            (0, 0, J.DC_LUMA_BITS, J.DC_LUMA_VALS),
+            (1, 0, J.AC_LUMA_BITS, J.AC_LUMA_VALS),
+            (0, 1, J.DC_CHROMA_BITS, J.DC_CHROMA_VALS),
+            (1, 1, J.AC_CHROMA_BITS, J.AC_CHROMA_VALS),
+        ):
+            out += J._marker(0xC4, bytes([(tclass << 4) | tid] + bits + vals))
+        dc_codes = [
+            J._build_codes(J.DC_LUMA_BITS, J.DC_LUMA_VALS),
+            J._build_codes(J.DC_CHROMA_BITS, J.DC_CHROMA_VALS),
+        ]
+        ac_codes = [
+            J._build_codes(J.AC_LUMA_BITS, J.AC_LUMA_VALS),
+            J._build_codes(J.AC_CHROMA_BITS, J.AC_CHROMA_VALS),
+        ]
+        for ci in range(3):
+            tid = 0 if ci == 0 else 1
+            sos = bytes([1, ci + 1, (tid << 4) | tid, 0, 63, 0])
+            out += J._marker(0xDA, sos)
+            writer = J._BitWriter()
+            pred = 0
+            quant = J.QUANT_LUMA if ci == 0 else J.QUANT_CHROMA
+            p = padded[ci]
+            for r0 in range(0, p.shape[0], 8):
+                for c0 in range(0, p.shape[1], 8):
+                    pred = J._encode_block(
+                        writer,
+                        p[r0 : r0 + 8, c0 : c0 + 8],
+                        quant,
+                        dc_codes[tid],
+                        ac_codes[tid],
+                        pred,
+                    )
+            writer.flush()
+            out += writer.bytes
+        out += J._marker(0xD9)
+
+        multi = J.decode_jpeg(bytes(out))
+        inter = J.decode_jpeg(J.encode_jpeg(img))
+        np.testing.assert_array_equal(multi, inter)
+
+    def test_progressive_decodes_bit_identical_to_baseline(self):
+        """The strongest codec cross-check: baseline and progressive
+        encodings of the same image carry the same quantized coefficients
+        through two UNRELATED entropy codings (sequential run/size vs
+        spectral selection + successive approximation with EOB runs), so
+        their decodes must agree on every byte, in every layout."""
+        import numpy as np
+
+        from biomedical_entity_linking_spark.functions.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        img = self._gradient(41, 29)  # non-multiple-of-8/16 dims
+        for sub in (False, True):
+            base = decode_jpeg(encode_jpeg(img, subsample=sub))
+            prog = decode_jpeg(encode_jpeg_progressive(img, subsample=sub))
+            np.testing.assert_array_equal(base, prog)
+        g = img.mean(axis=2).astype(np.uint8)
+        np.testing.assert_array_equal(
+            decode_jpeg(encode_jpeg(g)),
+            decode_jpeg(encode_jpeg_progressive(g)),
+        )
+
+    def test_progressive_adversarial_content(self):
+        """Flat images (scan-length EOB runs), checkerboards (dense
+        high-frequency AC), and noise (maximal refinement corrections)
+        all hold the bit-identity invariant."""
+        import numpy as np
+
+        from biomedical_entity_linking_spark.functions.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.RandomState(3)
+        cases = [
+            np.full((48, 56, 3), 128, np.uint8),
+            (np.indices((33, 47)).sum(axis=0) % 2 * 255)
+            .astype(np.uint8)[..., None]
+            .repeat(3, 2),
+            rng.randint(0, 256, (64, 40, 3)).astype(np.uint8),
+        ]
+        for img in cases:
+            for sub in (False, True):
+                np.testing.assert_array_equal(
+                    decode_jpeg(encode_jpeg(img, subsample=sub)),
+                    decode_jpeg(encode_jpeg_progressive(img, subsample=sub)),
+                )
+
+    def test_progressive_scan_boundary_prefix_decodes_coarse(self):
+        """Progressive's render-while-downloading property: a file cut at
+        a SCAN boundary decodes (coarsely); a cut inside a scan raises."""
+        import numpy as np
+        import pytest
+
+        from biomedical_entity_linking_spark.functions.jpeg import (
+            decode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        img = self._gradient(32, 32)
+        payload = encode_jpeg_progressive(img)
+        # find the third SOS (after DC + two AC-first scans of comp 0/2)
+        # and cut right before it, appending EOI
+        idx = -1
+        for _ in range(3):
+            idx = payload.find(b"\xff\xda", idx + 1)
+        assert idx > 0
+        coarse = decode_jpeg(payload[:idx] + b"\xff\xd9")
+        assert coarse.shape == (32, 32, 3)
+        # the prefix is a recognizable approximation, far from garbage
+        full = decode_jpeg(payload)
+        assert np.abs(coarse.astype(int) - full.astype(int)).mean() < 48.0
+        with pytest.raises(ValueError):
+            decode_jpeg(payload[: idx - 7])  # mid-scan cut
 
     def test_decodes_in_flow_through_image_features(self, spark):
         """synthesize_media now emits real jpeg payloads; the operator
@@ -550,9 +702,10 @@ class TestBuiltinJpegCodec:
 
 class TestJpegDispatchFractions:
     """Pin the real-vs-stub routing for a crawl-shaped jpeg variant mix
-    (VERDICT r4 #6): baseline 4:4:4 / 4:2:0 / grayscale decode with the
-    built-in codec; progressive and 4:2:2 route to Pillow when present,
-    else to the null-row stub fallback — never silent garbage."""
+    (VERDICT r4 #6): baseline 4:4:4 / 4:2:0 / grayscale AND progressive
+    (round 5: full SOF2 decode) decode with the built-in codec; 4:2:2
+    routes to Pillow when present, else to the null-row stub fallback —
+    never silent garbage."""
 
     def _corpus(self, n=40):
         import os
@@ -573,7 +726,8 @@ class TestJpegDispatchFractions:
         pillow = _pil() is not None
         for _mid, which, payload in self._corpus():
             builtin_ok = which in (
-                "baseline_420", "baseline_444", "baseline_gray"
+                "baseline_420", "baseline_444", "baseline_gray",
+                "progressive",
             )
             if builtin_ok or pillow:
                 img = decode_image(payload)
@@ -601,7 +755,8 @@ class TestJpegDispatchFractions:
         expect_real = {
             mid
             for mid, which, _ in corpus
-            if which in ("baseline_420", "baseline_444", "baseline_gray")
+            if which
+            in ("baseline_420", "baseline_444", "baseline_gray", "progressive")
             or _pil() is not None
         }
         assert real == expect_real

@@ -3,27 +3,28 @@
 A real web crawl's jpeg population is NOT all baseline-interleaved: a
 large share is progressive (most big images on the modern web), with a
 tail of 4:2:2 baseline. The engine's posture — built-in from-scratch
-baseline codec (4:4:4 / 4:2:0 / grayscale), Pillow as the optional
-executor dependency for everything else, stub-row fallback past both —
-implies a deployment-dependent REAL-decode fraction. This probe measures
-it instead of leaving it prose: synthesize a mixed-variant corpus with a
-crawl-shaped mix, run the actual ``image_features`` operator, and report
-the per-variant real/stub dispatch fractions in one JSON line.
+codec for sequential AND progressive (4:4:4 / 4:2:0 / grayscale),
+Pillow as the optional executor dependency for the residue, stub-row
+fallback past both — implies a deployment-dependent REAL-decode
+fraction. This probe measures it instead of leaving it prose:
+synthesize a mixed-variant corpus with a crawl-shaped mix, run the
+actual ``image_features`` operator, and report the per-variant
+real/stub dispatch fractions in one JSON line.
 
-Variant synthesis without external codecs: progressive and 4:2:2 files
-are produced by patching the SOF header of a built-in-encoded baseline
-payload (SOF0→SOF2 marker; 4:2:0→4:2:2 sampling byte). The patched
-entropy stream is not a valid decode target for the new header, but the
-dispatch decision — the thing being measured — happens at header-parse
-time in every decoder, so the files exercise exactly the real/stub
-routing a true progressive/4:2:2 file would. ``tests/test_multimodal.py``
-pins the same routing exactly.
+Variant synthesis without external codecs: progressive files are REAL
+SOF2 streams from ``encode_jpeg_progressive`` (spectral selection +
+successive approximation); 4:2:2 files are produced by patching the
+sampling byte of a built-in-encoded 4:2:0 payload — the patched entropy
+stream is not a valid decode target for the new header, but the
+dispatch decision happens at header-parse time in every decoder, so the
+file exercises exactly the routing a true 4:2:2 file would.
+``tests/test_multimodal.py`` pins the same routing exactly.
 
 Mix (share of jpeg payloads, coarse web-crawl shape):
   baseline 4:2:0  35%   | decodes built-in
   baseline 4:4:4  12%   | decodes built-in
   baseline gray    5%   | decodes built-in
-  progressive     43%   | Pillow-or-stub
+  progressive     43%   | decodes built-in (round 5: full SOF2 decode)
   baseline 4:2:2   5%   | Pillow-or-stub
 
 Usage: ``python tools/jpeg_stubrate_probe.py [n_images]`` (default 400).
@@ -61,12 +62,6 @@ def _test_image(rng: np.random.RandomState, h: int, w: int) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def _patch_sof_marker(payload: bytes, new_tag: int) -> bytes:
-    i = payload.find(b"\xff\xc0")
-    assert i >= 0, "no SOF0 in built-in-encoded payload"
-    return payload[:i] + bytes([0xFF, new_tag]) + payload[i + 2 :]
-
-
 def _patch_sampling_422(payload: bytes) -> bytes:
     """4:2:0 SOF (comp-0 sampling byte 0x22) → 4:2:2 (0x21)."""
     i = payload.find(b"\xff\xc0")
@@ -79,7 +74,10 @@ def _patch_sampling_422(payload: bytes) -> bytes:
 
 
 def make_variant(which: str, rng: np.random.RandomState) -> bytes:
-    from biomedical_entity_linking_spark.functions.jpeg import encode_jpeg
+    from biomedical_entity_linking_spark.functions.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
 
     h = int(rng.randint(16, 49))
     w = int(rng.randint(16, 49))
@@ -91,7 +89,7 @@ def make_variant(which: str, rng: np.random.RandomState) -> bytes:
     if which == "baseline_gray":
         return encode_jpeg(img.mean(axis=2).astype(np.uint8))
     if which == "progressive":
-        return _patch_sof_marker(encode_jpeg(img, subsample=True), 0xC2)
+        return encode_jpeg_progressive(img, subsample=True)
     if which == "baseline_422":
         return _patch_sampling_422(encode_jpeg(img, subsample=True))
     raise ValueError(which)
