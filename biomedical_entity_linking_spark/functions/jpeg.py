@@ -6,9 +6,10 @@ the executor image — 8-bit Huffman DCT, sequential (SOF0/SOF1,
 single- or multi-scan) AND progressive (SOF2: spectral selection +
 successive approximation, cross-scan EOB runs, DC/AC refinement);
 4:4:4, 4:2:0 (the dominant real-world layout; h2v2 MCUs, chroma at
-half resolution) or grayscale. Out of scope: 16-bit precision,
-restart intervals, arithmetic coding, hierarchical/lossless modes,
-other sampling layouts (4:2:2 …) — these raise ``NotImplementedError``
+half resolution), 4:2:2 (h2v1, the camera/editor tail) or grayscale.
+Out of scope: 16-bit precision, restart intervals, arithmetic coding,
+hierarchical/lossless modes, rarer layouts (4:1:1 …) — these raise
+``NotImplementedError``
 with an actionable message and the pluggable registry prefers Pillow
 when it IS importable (``multimodal.decode_image``). A progressive
 stream cut at a scan boundary still decodes (coarse, as a browser
@@ -279,10 +280,14 @@ def _pad_replicate(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
 
 
 def _prepare_planes(
-    img: np.ndarray, subsample: bool
+    img: np.ndarray, subsample: bool | str
 ) -> tuple[bool, int, int, list, list, int, int]:
     """Shared encoder front half: color convert, level shift, subsample,
-    MCU-pad. Returns (gray, h, w, padded_planes, samps, mcux, mcuy)."""
+    MCU-pad. Returns (gray, h, w, padded_planes, samps, mcux, mcuy).
+
+    ``subsample``: False → 4:4:4, True/"420" → 4:2:0 (chroma halved both
+    ways, 2×2 mean), "422" → 4:2:2 (chroma halved horizontally, h2v1)."""
+    mode = {False: None, True: "420", "420": "420", "422": "422"}[subsample]
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -298,7 +303,7 @@ def _prepare_planes(
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         planes = [y - 128.0, cb - 128.0, cr - 128.0]
-        if subsample:
+        if mode == "420":
             he, we = (h + 1) // 2 * 2, (w + 1) // 2 * 2
             halved = []
             for p in planes[1:]:
@@ -308,6 +313,14 @@ def _prepare_planes(
                 )
             planes = [planes[0]] + halved
             samps = [(2, 2), (1, 1), (1, 1)]
+        elif mode == "422":
+            we = (w + 1) // 2 * 2
+            halved = []
+            for p in planes[1:]:
+                pe = _pad_replicate(p, h, we)
+                halved.append(pe.reshape(h, we // 2, 2).mean(axis=2))
+            planes = [planes[0]] + halved
+            samps = [(2, 1), (1, 1), (1, 1)]
         else:
             samps = [(1, 1)] * 3
 
@@ -322,12 +335,14 @@ def _prepare_planes(
     return gray, h, w, padded, samps, mcux, mcuy
 
 
-def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
+def encode_jpeg(img: np.ndarray, subsample: bool | str = False) -> bytes:
     """(h, w) grayscale or (h, w, 3) RGB uint8 → baseline JFIF bytes.
 
-    ``subsample=True`` emits 4:2:0 (h2v2 luma, chroma at half resolution
-    via 2×2 mean) — the dominant real-world layout, so the decoder's
-    subsampled path is hermetically testable."""
+    ``subsample=True``/``"420"`` emits 4:2:0 (h2v2 luma, chroma at half
+    resolution via 2×2 mean) — the dominant real-world layout;
+    ``"422"`` emits h2v1 (chroma halved horizontally) — the camera/
+    editor tail — so both subsampled decode paths are hermetically
+    testable."""
     gray, h, w, padded, samps, mcux, mcuy = _prepare_planes(img, subsample)
 
     out = bytearray()
@@ -628,7 +643,7 @@ def _enc_ac_refine(
     flush_eob()
 
 
-def encode_jpeg_progressive(img: np.ndarray, subsample: bool = False) -> bytes:
+def encode_jpeg_progressive(img: np.ndarray, subsample: bool | str = False) -> bytes:
     """(h, w) grayscale or (h, w, 3) RGB uint8 → PROGRESSIVE (SOF2) JFIF
     bytes, libjpeg-style progression script (DC-first interleaved at
     Al=1, per-component spectral AC passes, full refinement sweep to
@@ -772,11 +787,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append((cid, hv >> 4, hv & 0xF, qid))
             layouts = {tuple((hi, vi) for _, hi, vi, _ in comps)}
             if layouts - {((1, 1),), ((1, 1), (1, 1), (1, 1)),
-                          ((2, 2), (1, 1), (1, 1))}:
+                          ((2, 2), (1, 1), (1, 1)),
+                          ((2, 1), (1, 1), (1, 1))}:
                 raise NotImplementedError(
-                    "jpeg: only 4:4:4, 4:2:0 and grayscale in the "
+                    "jpeg: only 4:4:4, 4:2:2, 4:2:0 and grayscale in the "
                     "built-in codec — install Pillow for other layouts "
-                    "(4:2:2 etc.)"
+                    "(4:1:1 etc.)"
                 )
             frame = (h, w, comps)
             hmax = max(hi for _, hi, _, _ in comps)

@@ -11,13 +11,15 @@ synthesize a mixed-variant corpus with a crawl-shaped mix, run the
 actual ``image_features`` operator, and report the per-variant
 real/stub dispatch fractions in one JSON line.
 
-Variant synthesis without external codecs: progressive files are REAL
-SOF2 streams from ``encode_jpeg_progressive`` (spectral selection +
-successive approximation); 4:2:2 files are produced by patching the
-sampling byte of a built-in-encoded 4:2:0 payload — the patched entropy
-stream is not a valid decode target for the new header, but the
-dispatch decision happens at header-parse time in every decoder, so the
-file exercises exactly the routing a true 4:2:2 file would.
+All five variants are now REAL files from the built-in encoders
+(baseline 4:4:4/4:2:0/4:2:2/grayscale via ``encode_jpeg``, progressive
+via ``encode_jpeg_progressive``), and — round 5 — ALL five decode with
+the built-in codec: full SOF2 progressive landed, then h2v1 (4:2:2).
+A sixth variant, ``restart_dri`` (a DRI segment patched into a
+baseline payload), represents the out-of-scope tail (restart
+intervals / arithmetic / 16-bit): the dispatch decision happens at
+header-parse time, so the patched file exercises exactly the
+Pillow-or-stub routing a true restart-interval file would.
 ``tests/test_multimodal.py`` pins the same routing exactly.
 
 Mix (share of jpeg payloads, coarse web-crawl shape):
@@ -25,7 +27,8 @@ Mix (share of jpeg payloads, coarse web-crawl shape):
   baseline 4:4:4  12%   | decodes built-in
   baseline gray    5%   | decodes built-in
   progressive     43%   | decodes built-in (round 5: full SOF2 decode)
-  baseline 4:2:2   5%   | Pillow-or-stub
+  baseline 4:2:2   3%   | decodes built-in (round 5: h2v1 layout)
+  restart DRI      2%   | Pillow-or-stub (declared out-of-scope tail)
 
 Usage: ``python tools/jpeg_stubrate_probe.py [n_images]`` (default 400).
 """
@@ -44,7 +47,8 @@ MIX = [
     ("baseline_444", 0.12),
     ("baseline_gray", 0.05),
     ("progressive", 0.43),
-    ("baseline_422", 0.05),
+    ("baseline_422", 0.03),
+    ("restart_dri", 0.02),
 ]
 
 
@@ -62,15 +66,15 @@ def _test_image(rng: np.random.RandomState, h: int, w: int) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def _patch_sampling_422(payload: bytes) -> bytes:
-    """4:2:0 SOF (comp-0 sampling byte 0x22) → 4:2:2 (0x21)."""
-    i = payload.find(b"\xff\xc0")
+def _patch_restart_dri(payload: bytes) -> bytes:
+    """Insert a DRI (define-restart-interval, nonzero) segment before the
+    SOS of a baseline payload. The entropy stream carries no RST markers,
+    but the dispatch decision — the thing measured — happens when the
+    decoder parses DRI, exactly as for a true restart-interval file."""
+    i = payload.find(b"\xff\xda")
     assert i >= 0
-    # SOF body: len(2) precision(1) h(2) w(2) ncomp(1) then per-comp
-    # (cid, hv, qid); comp 0's hv byte sits at body offset 7
-    hv_idx = i + 2 + 2 + 1 + 2 + 2 + 1 + 1
-    assert payload[hv_idx] == 0x22, hex(payload[hv_idx])
-    return payload[:hv_idx] + b"\x21" + payload[hv_idx + 1 :]
+    dri = b"\xff\xdd\x00\x04\x00\x08"  # restart every 8 MCUs
+    return payload[:i] + dri + payload[i:]
 
 
 def make_variant(which: str, rng: np.random.RandomState) -> bytes:
@@ -91,7 +95,9 @@ def make_variant(which: str, rng: np.random.RandomState) -> bytes:
     if which == "progressive":
         return encode_jpeg_progressive(img, subsample=True)
     if which == "baseline_422":
-        return _patch_sampling_422(encode_jpeg(img, subsample=True))
+        return encode_jpeg(img, subsample="422")
+    if which == "restart_dri":
+        return _patch_restart_dri(encode_jpeg(img, subsample=True))
     raise ValueError(which)
 
 
