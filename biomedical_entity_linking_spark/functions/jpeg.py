@@ -7,10 +7,10 @@ single- or multi-scan) AND progressive (SOF2: spectral selection +
 successive approximation, cross-scan EOB runs, DC/AC refinement);
 4:4:4, 4:2:0 (the dominant real-world layout; h2v2 MCUs, chroma at
 half resolution), 4:2:2 (h2v1, the camera/editor tail) or grayscale.
-Out of scope: 16-bit precision, restart intervals, arithmetic coding,
+Restart intervals (DRI/RSTn — the camera-JPEG framing) are handled in
+every scan kind. Out of scope: 16-bit precision, arithmetic coding,
 hierarchical/lossless modes, rarer layouts (4:1:1 …) — these raise
-``NotImplementedError``
-with an actionable message and the pluggable registry prefers Pillow
+``NotImplementedError`` with an actionable message and the pluggable registry prefers Pillow
 when it IS importable (``multimodal.decode_image``). A progressive
 stream cut at a scan boundary still decodes (coarse, as a browser
 renders a partial download); a cut inside a scan raises.
@@ -173,6 +173,11 @@ class _BitWriter:
             pad = 8 - self._n
             self.write((1 << pad) - 1, pad)  # 1-fill per spec
 
+    def restart(self, n: int) -> None:
+        """Byte-align and emit RSTn — raw marker, never byte-stuffed."""
+        self.flush()
+        self.bytes += bytes([0xFF, 0xD0 + (n % 8)])
+
 
 class _BitReader:
     def __init__(self, data: bytes, pos: int) -> None:
@@ -203,6 +208,17 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def restart(self, n: int) -> None:
+        """Discard padding bits, consume the expected RSTn marker."""
+        self._n = 0  # byte-align: drop the segment's 1-fill padding
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (n % 8)
+        ):
+            raise ValueError("jpeg: missing/out-of-order restart marker")
+        self.pos += 2
 
 
 def _extend(value: int, size: int) -> int:
@@ -335,8 +351,15 @@ def _prepare_planes(
     return gray, h, w, padded, samps, mcux, mcuy
 
 
-def encode_jpeg(img: np.ndarray, subsample: bool | str = False) -> bytes:
+def encode_jpeg(
+    img: np.ndarray,
+    subsample: bool | str = False,
+    restart_interval: int = 0,
+) -> bytes:
     """(h, w) grayscale or (h, w, 3) RGB uint8 → baseline JFIF bytes.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker (with
+    DC-predictor reset + byte alignment) every that-many MCUs — the
+    camera-JPEG framing.
 
     ``subsample=True``/``"420"`` emits 4:2:0 (h2v2 luma, chroma at half
     resolution via 2×2 mean) — the dominant real-world layout;
@@ -369,6 +392,8 @@ def encode_jpeg(img: np.ndarray, subsample: bool | str = False) -> bytes:
         (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
     )):
         out += _marker(0xC4, bytes([(tclass << 4) | tid] + bits + vals))
+    if restart_interval:
+        out += _marker(0xDD, restart_interval.to_bytes(2, "big"))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -381,8 +406,14 @@ def encode_jpeg(img: np.ndarray, subsample: bool | str = False) -> bytes:
     ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
     writer = _BitWriter()
     preds = [0] * ncomp
+    rst_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            unit = my * mcux + mx
+            if restart_interval and unit and unit % restart_interval == 0:
+                writer.restart(rst_n)
+                rst_n += 1
+                preds = [0] * ncomp
             for ci in range(ncomp):
                 hi, vi = samps[ci]
                 quant = QUANT_LUMA if ci == 0 else QUANT_CHROMA
@@ -488,7 +519,7 @@ def _block_order(
                     hi, vi = samps[ci]
                     for by in range(vi):
                         for bx in range(hi):
-                            yield ci, my * vi + by, mx * hi + bx
+                            yield my * mcux + mx, ci, my * vi + by, mx * hi + bx
     else:
         ci = scan_idx[0]
         hi, vi = samps[ci]
@@ -496,7 +527,7 @@ def _block_order(
         bh = (-(-h * vi // vmax) + 7) // 8
         for r in range(bh):
             for c in range(bw):
-                yield ci, r, c
+                yield r * bw + c, ci, r, c
 
 
 def _enc_dc_scan(
@@ -506,9 +537,17 @@ def _enc_dc_scan(
     ah: int,
     al: int,
     dc_codes: list[dict],
+    ri: int = 0,
 ) -> None:
     preds: dict[int, int] = {}
-    for ci, r, c in order:
+    rst_n = 0
+    last_unit = -1
+    for unit, ci, r, c in order:
+        if ri and unit != last_unit and unit and unit % ri == 0:
+            writer.restart(rst_n)
+            rst_n += 1
+            preds = {}
+        last_unit = unit
         v = int(coefs[ci][r, c, 0])
         if ah == 0:  # first pass: code diffs of the point transform
             t = v >> al  # DC point transform is an ARITHMETIC shift
@@ -531,8 +570,11 @@ def _enc_ac_first(
     se: int,
     al: int,
     ac_codes: dict,
+    ri: int = 0,
 ) -> None:
     eobrun = 0
+    rst_n = 0
+    last_unit = -1
 
     def flush_eob() -> None:
         nonlocal eobrun
@@ -544,7 +586,12 @@ def _enc_ac_first(
                 writer.write(eobrun - (1 << rbits), rbits)
             eobrun = 0
 
-    for ci, r, c in order:
+    for unit, ci, r, c in order:
+        if ri and unit != last_unit and unit and unit % ri == 0:
+            flush_eob()
+            writer.restart(rst_n)
+            rst_n += 1
+        last_unit = unit
         band = coefs[ci][r, c, ss : se + 1]
         run = 0
         for v in band:
@@ -578,12 +625,15 @@ def _enc_ac_refine(
     se: int,
     al: int,
     ac_codes: dict,
+    ri: int = 0,
 ) -> None:
     """T.81 G.1.2.3 AC successive-approximation refinement: newly-
     significant coefficients as run/1 symbols with a sign bit, correction
     bits for already-significant ones buffered and flushed after the next
     emitted symbol (or with the pending EOB run)."""
     eobrun = 0
+    rst_n = 0
+    last_unit = -1
     eob_bits: list[int] = []  # corrections owned by the pending EOB run
     cur_bits: list[int] = []  # corrections since the last emitted symbol
 
@@ -605,7 +655,12 @@ def _enc_ac_refine(
             eob_bits.clear()
             eobrun = 0
 
-    for ci, r, c in order:
+    for unit, ci, r, c in order:
+        if ri and unit != last_unit and unit and unit % ri == 0:
+            flush_eob()
+            writer.restart(rst_n)
+            rst_n += 1
+        last_unit = unit
         band = [int(v) for v in coefs[ci][r, c, ss : se + 1]]
         t = [abs(v) >> al for v in band]
         # EOB position: past the last NEWLY-significant coefficient,
@@ -643,7 +698,11 @@ def _enc_ac_refine(
     flush_eob()
 
 
-def encode_jpeg_progressive(img: np.ndarray, subsample: bool | str = False) -> bytes:
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    subsample: bool | str = False,
+    restart_interval: int = 0,
+) -> bytes:
     """(h, w) grayscale or (h, w, 3) RGB uint8 → PROGRESSIVE (SOF2) JFIF
     bytes, libjpeg-style progression script (DC-first interleaved at
     Al=1, per-component spectral AC passes, full refinement sweep to
@@ -683,6 +742,8 @@ def encode_jpeg_progressive(img: np.ndarray, subsample: bool | str = False) -> b
     ]
     ac_codes = _build_codes(AC_PROG_BITS, AC_PROG_VALS)
 
+    if restart_interval:
+        out += _marker(0xDD, restart_interval.to_bytes(2, "big"))
     for scan_idx, ss, se, ah, al in _progression_script(ncomp):
         sos = bytes([len(scan_idx)])
         for ci in scan_idx:
@@ -692,12 +753,13 @@ def encode_jpeg_progressive(img: np.ndarray, subsample: bool | str = False) -> b
         out += _marker(0xDA, sos)
         writer = _BitWriter()
         order = _block_order(scan_idx, samps, h, w, mcux, mcuy)
+        ri = restart_interval
         if ss == 0:
-            _enc_dc_scan(writer, order, coefs, ah, al, dc_codes)
+            _enc_dc_scan(writer, order, coefs, ah, al, dc_codes, ri)
         elif ah == 0:
-            _enc_ac_first(writer, order, coefs, ss, se, al, ac_codes)
+            _enc_ac_first(writer, order, coefs, ss, se, al, ac_codes, ri)
         else:
-            _enc_ac_refine(writer, order, coefs, ss, se, al, ac_codes)
+            _enc_ac_refine(writer, order, coefs, ss, se, al, ac_codes, ri)
         writer.flush()
         out += writer.bytes
     out += _marker(0xD9)
@@ -730,6 +792,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     geom: dict[int, tuple] = {}
     scanned: set[int] = set()
     mcux = mcuy = hmax = vmax = 0
+    restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("jpeg: bad marker framing")
@@ -814,9 +877,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 "jpeg: only Huffman sequential/progressive DCT (SOF0/1/2) "
                 "in the built-in codec"
             )
-        elif tag == 0xDD:
-            if int.from_bytes(body[:2], "big") != 0:
-                raise NotImplementedError("jpeg: restart intervals")
+        elif tag == 0xDD:  # DRI: restart interval in MCUs (0 = none)
+            restart_interval = int.from_bytes(body[:2], "big")
         elif tag == 0xDA:  # SOS: decode one scan's entropy data
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
@@ -832,6 +894,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             pos = _decode_scan(
                 payload, pos, scan_comps, ss, se, ah, al, progressive,
                 coefs, geom, huff_dc, huff_ac, mcux, mcuy,
+                restart_interval,
             )
     if frame is None or not scanned:
         raise ValueError("jpeg: missing SOF/SOS")
@@ -878,23 +941,28 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 def _scan_order(scan_comps, geom, mcux, mcuy):
-    """(cid, dc_id, ac_id, block_row, block_col) in scan order — MCU-
-    interleaved for multi-component scans, the component's own block
-    raster for single-component scans (T.81 A.2)."""
+    """(mcu_unit, cid, dc_id, ac_id, block_row, block_col) in scan order —
+    MCU-interleaved for multi-component scans, the component's own block
+    raster for single-component scans where the MCU is one block
+    (T.81 A.2). The unit index is what restart intervals count."""
     if len(scan_comps) > 1:
         for my in range(mcuy):
             for mx in range(mcux):
+                unit = my * mcux + mx
                 for cid, dc_id, ac_id in scan_comps:
                     hi, vi = geom[cid][0], geom[cid][1]
                     for by in range(vi):
                         for bx in range(hi):
-                            yield cid, dc_id, ac_id, my * vi + by, mx * hi + bx
+                            yield (
+                                unit, cid, dc_id, ac_id,
+                                my * vi + by, mx * hi + bx,
+                            )
     else:
         cid, dc_id, ac_id = scan_comps[0]
         bh, bw = geom[cid][2], geom[cid][3]
         for r in range(bh):
             for c in range(bw):
-                yield cid, dc_id, ac_id, r, c
+                yield r * bw + c, cid, dc_id, ac_id, r, c
 
 
 def _decode_scan(
@@ -912,11 +980,17 @@ def _decode_scan(
     huff_ac,
     mcux: int,
     mcuy: int,
+    ri: int = 0,
 ) -> int:
     """Decode one scan's entropy data into the coefficient arrays;
-    return the byte offset of the next marker."""
+    return the byte offset of the next marker. ``ri`` = restart
+    interval in MCUs (0 = none): at each boundary the reader
+    byte-aligns, consumes the expected RSTn, and the branch resets its
+    cross-MCU state (DC predictors / EOB run)."""
     reader = _BitReader(data, pos)
     order = _scan_order(scan_comps, geom, mcux, mcuy)
+    rst_n = 0
+    last_unit = -1
     if progressive and not (
         (ss == 0 and se == 0) or (0 < ss <= se <= 63 and len(scan_comps) == 1)
     ):
@@ -927,7 +1001,12 @@ def _decode_scan(
     if ss == 0 and (se == 0 or not progressive):
         if ah == 0:  # DC first (or full sequential scan)
             preds: dict[int, int] = {}
-            for cid, dc_id, ac_id, r, c in order:
+            for unit, cid, dc_id, ac_id, r, c in order:
+                if ri and unit != last_unit and unit and unit % ri == 0:
+                    reader.restart(rst_n)
+                    rst_n += 1
+                    preds = {}
+                last_unit = unit
                 blk = coefs[cid][r, c]
                 size = _read_symbol(reader, huff_dc[dc_id])
                 diff = _extend(reader.read_bits(size), size) if size else 0
@@ -949,12 +1028,21 @@ def _decode_scan(
                         blk[k] = _extend(reader.read_bits(sz), sz)
                         k += 1
         else:  # DC refinement: one raw bit per block
-            for cid, _dc_id, _ac_id, r, c in order:
+            for unit, cid, _dc_id, _ac_id, r, c in order:
+                if ri and unit != last_unit and unit and unit % ri == 0:
+                    reader.restart(rst_n)
+                    rst_n += 1
+                last_unit = unit
                 if reader.read_bit():
                     coefs[cid][r, c, 0] |= 1 << al
     elif ah == 0:  # AC first pass (progressive, single component)
         eobrun = 0
-        for cid, _dc_id, ac_id, r, c in order:
+        for unit, cid, _dc_id, ac_id, r, c in order:
+            if ri and unit != last_unit and unit and unit % ri == 0:
+                reader.restart(rst_n)
+                rst_n += 1
+                eobrun = 0
+            last_unit = unit
             blk = coefs[cid][r, c]
             if eobrun:
                 eobrun -= 1
@@ -979,7 +1067,12 @@ def _decode_scan(
     else:  # AC refinement (T.81 G.2.2 / libjpeg decode_mcu_AC_refine)
         p1, m1 = 1 << al, -(1 << al)
         eobrun = 0
-        for cid, _dc_id, ac_id, r, c in order:
+        for unit, cid, _dc_id, ac_id, r, c in order:
+            if ri and unit != last_unit and unit and unit % ri == 0:
+                reader.restart(rst_n)
+                rst_n += 1
+                eobrun = 0
+            last_unit = unit
             blk = coefs[cid][r, c]
             k = ss
             if eobrun == 0:

@@ -9,8 +9,9 @@ inflate + all-five-filter unfiltering in ``decode_png``), and JPEG —
 both baseline/multi-scan sequential AND progressive (from-scratch
 ITU-T T.81 codec in ``functions/jpeg.py``: Annex K tables, canonical
 Huffman, matrix DCT, spectral selection + successive approximation;
-4:4:4, 4:2:0 + grayscale) — plus a nearest-neighbor ``resize`` kernel.
-Remaining variants (4:2:2 / restart-interval / arithmetic jpeg, exotic
+4:4:4, 4:2:2, 4:2:0 + grayscale; DRI/RSTn restart intervals) — plus a
+nearest-neighbor ``resize`` kernel.
+Remaining variants (arithmetic / 16-bit jpeg, exotic
 PNG) decode through the PLUGGABLE registry: if
 the optional public Pillow dependency is importable on the executors,
 ``decode_image`` prefers it; otherwise unsupported variants raise a
@@ -345,10 +346,11 @@ def sniff_image_format(payload: bytes) -> str | None:
 def decode_image(payload: bytes) -> np.ndarray:
     """Image decode dispatch → uint8 (h, w, 3) RGB.
 
-    BMP, 8-bit PNG and jpeg (baseline AND progressive, 4:4:4 / 4:2:0 /
-    grayscale — ``functions/jpeg.py``) decode with the built-in
-    pure-numpy codecs — no external dependency. The residual variants
-    (16-bit/interlaced PNG, 4:2:2 / restart-interval / arithmetic jpeg)
+    BMP, 8-bit PNG and jpeg (baseline/multi-scan/progressive; 4:4:4,
+    4:2:0, 4:2:2, grayscale; restart intervals — ``functions/jpeg.py``)
+    decode with the built-in pure-numpy codecs — no external
+    dependency. The residual variants
+    (16-bit/interlaced PNG, arithmetic / 16-bit jpeg)
     decode for REAL when Pillow is importable (optional public
     dependency — the core never requires it); without it they raise
     ``NotImplementedError`` with an actionable message, exactly the
@@ -376,8 +378,8 @@ def decode_image(payload: bytes) -> np.ndarray:
                 return np.asarray(im.convert("RGB"))
         if kind == "jpeg":
             # built-in from-scratch codec (ITU T.81: sequential +
-            # progressive; 4:4:4, 4:2:0 or grayscale); 4:2:2 /
-            # restart-interval / arithmetic variants raise with an
+            # progressive; 4:4:4, 4:2:2, 4:2:0 or grayscale; restart
+            # intervals); arithmetic / 16-bit variants raise with an
             # actionable message
             from ..functions.jpeg import decode_jpeg
 

@@ -11,16 +11,17 @@ synthesize a mixed-variant corpus with a crawl-shaped mix, run the
 actual ``image_features`` operator, and report the per-variant
 real/stub dispatch fractions in one JSON line.
 
-All five variants are now REAL files from the built-in encoders
-(baseline 4:4:4/4:2:0/4:2:2/grayscale via ``encode_jpeg``, progressive
-via ``encode_jpeg_progressive``), and — round 5 — ALL five decode with
-the built-in codec: full SOF2 progressive landed, then h2v1 (4:2:2).
-A sixth variant, ``restart_dri`` (a DRI segment patched into a
-baseline payload), represents the out-of-scope tail (restart
-intervals / arithmetic / 16-bit): the dispatch decision happens at
-header-parse time, so the patched file exercises exactly the
-Pillow-or-stub routing a true restart-interval file would.
-``tests/test_multimodal.py`` pins the same routing exactly.
+All six real-file variants are REAL files from the built-in encoders
+(baseline 4:4:4/4:2:0/4:2:2/grayscale and restart-interval framing via
+``encode_jpeg``, progressive via ``encode_jpeg_progressive``), and —
+round 5 — ALL of them decode with the built-in codec: full SOF2
+progressive landed, then h2v1 (4:2:2), then DRI/RSTn restart
+intervals. A seventh variant, ``arithmetic`` (SOF patched to 0xC9),
+represents the remaining out-of-scope tail (arithmetic coding /
+16-bit / hierarchical): the dispatch decision happens at header-parse
+time, so the patched file exercises exactly the Pillow-or-stub routing
+a true arithmetic file would. ``tests/test_multimodal.py`` pins the
+same routing exactly.
 
 Mix (share of jpeg payloads, coarse web-crawl shape):
   baseline 4:2:0  35%   | decodes built-in
@@ -28,7 +29,8 @@ Mix (share of jpeg payloads, coarse web-crawl shape):
   baseline gray    5%   | decodes built-in
   progressive     43%   | decodes built-in (round 5: full SOF2 decode)
   baseline 4:2:2   3%   | decodes built-in (round 5: h2v1 layout)
-  restart DRI      2%   | Pillow-or-stub (declared out-of-scope tail)
+  restart DRI      1%   | decodes built-in (round 5: RSTn handling)
+  arithmetic       1%   | Pillow-or-stub (declared out-of-scope tail)
 
 Usage: ``python tools/jpeg_stubrate_probe.py [n_images]`` (default 400).
 """
@@ -48,7 +50,8 @@ MIX = [
     ("baseline_gray", 0.05),
     ("progressive", 0.43),
     ("baseline_422", 0.03),
-    ("restart_dri", 0.02),
+    ("restart_dri", 0.01),
+    ("arithmetic", 0.01),
 ]
 
 
@@ -66,15 +69,14 @@ def _test_image(rng: np.random.RandomState, h: int, w: int) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def _patch_restart_dri(payload: bytes) -> bytes:
-    """Insert a DRI (define-restart-interval, nonzero) segment before the
-    SOS of a baseline payload. The entropy stream carries no RST markers,
-    but the dispatch decision — the thing measured — happens when the
-    decoder parses DRI, exactly as for a true restart-interval file."""
-    i = payload.find(b"\xff\xda")
+def _patch_arithmetic(payload: bytes) -> bytes:
+    """SOF0 → SOF9 (arithmetic sequential). The entropy stream is not a
+    valid arithmetic stream, but the dispatch decision — the thing
+    measured — happens when the decoder parses the SOF marker, exactly
+    as for a true arithmetic-coded file."""
+    i = payload.find(b"\xff\xc0")
     assert i >= 0
-    dri = b"\xff\xdd\x00\x04\x00\x08"  # restart every 8 MCUs
-    return payload[:i] + dri + payload[i:]
+    return payload[:i] + b"\xff\xc9" + payload[i + 2 :]
 
 
 def make_variant(which: str, rng: np.random.RandomState) -> bytes:
@@ -97,7 +99,9 @@ def make_variant(which: str, rng: np.random.RandomState) -> bytes:
     if which == "baseline_422":
         return encode_jpeg(img, subsample="422")
     if which == "restart_dri":
-        return _patch_restart_dri(encode_jpeg(img, subsample=True))
+        return encode_jpeg(img, subsample=True, restart_interval=4)
+    if which == "arithmetic":
+        return _patch_arithmetic(encode_jpeg(img))
     raise ValueError(which)
 
 
