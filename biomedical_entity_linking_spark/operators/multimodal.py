@@ -16,8 +16,10 @@ PNG) decode through the PLUGGABLE registry: if
 the optional public Pillow dependency is importable on the executors,
 ``decode_image`` prefers it; otherwise unsupported variants raise a
 clearly-marked ``NotImplementedError`` (feature extraction falls back to
-the deterministic stub). Video (mp4) stays a declared stub — ffmpeg is
-out of scope. The dispatch, schema, Arrow batch shape, ``mapInPandas``
+the deterministic stub). Video: ISO-BMFF (mp4) container METADATA —
+duration, track dimensions, track count — parses for REAL via a pure
+struct box walk (``parse_mp4_metadata``); frame DECODE stays a declared
+stub — ffmpeg is out of scope. The dispatch, schema, Arrow batch shape, ``mapInPandas``
 iterator signatures, and metadata projection are identical either way, so
 a production deployment only adds the codec libs to its executor image.
 
@@ -405,8 +407,9 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media table: REAL payloads for audio (PCM16 WAV sine +
     noise) and image (alternating 24bpp BMP — widths chosen to exercise row
     padding — and zlib-compressed PNG cycling through all five row
-    filters); video keeps a fake mp4-style payload — its decode is the
-    declared stub."""
+    filters); video carries a REAL ISO-BMFF skeleton whose container
+    metadata parses for real — only frame decode is the declared
+    stub."""
     rng = np.random.RandomState(seed)
     kinds = ["image", "audio", "video"]
     rows = []
@@ -438,11 +441,12 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 payload = encode_jpeg(rgb)
             dur_ms = None
         else:
-            payload = b"\x00\x00\x00\x18" + bytes(
-                rng.randint(0, 256, size=128, dtype=np.uint8)
-            )
-            width = height = None
+            # REAL ISO-BMFF skeleton: container metadata parses for real
+            # (parse_mp4_metadata); frame decode stays the declared stub
+            width, height = 320 + 16 * (i % 4), 240 + 16 * (i % 3)
             dur_ms = 1000 * (1 + i % 30)
+            payload = encode_mp4_skeleton(dur_ms, width, height)
+            width = height = None  # metadata columns mirror a raw crawl
         rows.append(
             (
                 i,
@@ -455,6 +459,155 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# real container parser: mp4 / ISO-BMFF metadata (pure struct, no ffmpeg)
+# ---------------------------------------------------------------------------
+
+
+def encode_mp4_skeleton(
+    duration_ms: int, width: int | None = None, height: int | None = None
+) -> bytes:
+    """Minimal valid ISO-BMFF skeleton (ftyp + moov(mvhd [+ trak(tkhd)]))
+    — fixture encoder; also documents the exact box layout
+    ``parse_mp4_metadata`` walks. No mdat: frame DECODE stays the
+    declared ffmpeg-needing stub; container METADATA is real."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    timescale = 1000
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0
+        + struct.pack(">IIII", 0, 0, timescale, duration_ms)
+        + struct.pack(">iH2x", 0x00010000, 0x0100)  # rate, volume
+        + b"\x00" * 8
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next_track_id
+    )
+    traks = b""
+    if width is not None and height is not None:
+        tkhd = box(
+            b"tkhd",
+            struct.pack(">B3x", 0)
+            + struct.pack(">IIIII", 0, 0, 1, 0, duration_ms)
+            + b"\x00" * 8
+            + struct.pack(">HHH2x", 0, 0, 0)  # layer, group, volume
+            + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+        )
+        traks = box(b"trak", tkhd)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + box(b"moov", mvhd + traks)
+
+
+def parse_mp4_metadata(payload: bytes) -> dict:
+    """ISO-BMFF box walk → {duration_ms, width, height, n_tracks}.
+
+    Real container parsing (size/type headers, 64-bit largesize,
+    version-0/1 mvhd and tkhd, nested moov/trak traversal) — the
+    metadata a crawl pipeline filters and shards on BEFORE any frame
+    ever needs decoding. Not an mp4 decoder: sample tables and codec
+    payloads are untouched (frame decode remains the declared stub).
+    Raises ``ValueError`` for non-BMFF bytes or a missing moov."""
+    if payload is None or len(payload) < 8:
+        raise ValueError("mp4: not an ISO-BMFF payload")
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            size = struct.unpack(">I", payload[pos : pos + 4])[0]
+            btype = payload[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > hi:
+                    raise ValueError("mp4: truncated largesize box")
+                size = struct.unpack(">Q", payload[pos + 8 : pos + 16])[0]
+                body = pos + 16
+            elif size == 0:  # box extends to end of enclosing container
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                raise ValueError("mp4: bad box size")
+            yield btype, body, pos + size
+            pos += size
+
+    top = {btype: (body, end) for btype, body, end in walk(0, len(payload))}
+    if b"ftyp" not in top or b"moov" not in top:
+        raise ValueError("mp4: missing ftyp/moov")
+    meta = {"duration_ms": None, "width": None, "height": None, "n_tracks": 0}
+    moov_body, moov_end = top[b"moov"]
+    for btype, body, end in walk(moov_body, moov_end):
+        if btype == b"mvhd":
+            version = payload[body]
+            if version == 1:
+                timescale = struct.unpack(">I", payload[body + 20 : body + 24])[0]
+                duration = struct.unpack(">Q", payload[body + 24 : body + 32])[0]
+            else:
+                timescale, duration = struct.unpack(
+                    ">II", payload[body + 12 : body + 20]
+                )
+            if timescale:
+                meta["duration_ms"] = int(duration * 1000 // timescale)
+        elif btype == b"trak":
+            meta["n_tracks"] += 1
+            for t2, b2, _e2 in walk(body, end):
+                if t2 == b"tkhd":
+                    off = b2 + (32 if payload[b2] == 0 else 44)
+                    # layer..volume (8) + matrix (36) precede width/height
+                    wh = off + 8 + 36
+                    w16, h16 = struct.unpack(">II", payload[wh : wh + 8])
+                    if w16 and h16:
+                        meta["width"] = w16 >> 16
+                        meta["height"] = h16 >> 16
+    return meta
+
+
+def video_metadata(media: DataFrame) -> DataFrame:
+    """Per-video container metadata via the REAL ISO-BMFF parser — Arrow
+    batches through ``mapInPandas`` (same vectorized shape as
+    ``image_features``); unparseable payloads yield a typed null row,
+    never a crash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    m = parse_mp4_metadata(payload)
+                    out.append(
+                        (
+                            int(mid),
+                            m["duration_ms"],
+                            m["width"],
+                            m["height"],
+                            m["n_tracks"],
+                        )
+                    )
+                except (ValueError, struct.error):
+                    out.append((int(mid), None, None, None, None))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "duration_ms",
+                    "width",
+                    "height",
+                    "n_tracks",
+                ],
+            )
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(
+            run,
+            "media_id long, duration_ms long, width int, height int, "
+            "n_tracks int",
+        )
+    )
 
 
 def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
