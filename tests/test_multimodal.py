@@ -935,3 +935,55 @@ class TestMp4Metadata:
         )
         r = video_metadata(media).collect()[0]
         assert r["media_id"] == 9 and r["duration_ms"] is None
+
+
+class TestJpegPropertyBased:
+    """Hypothesis over the codec's full option lattice: for ANY image
+    content, shape, layout, restart interval, the progressive and
+    baseline entropy codings must decode to the same bytes (they carry
+    identical quantized coefficients)."""
+
+    def test_bit_identity_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from biomedical_entity_linking_spark.functions.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        @given(
+            h=st.integers(8, 40),
+            w=st.integers(8, 40),
+            seed=st.integers(0, 2**31 - 1),
+            style=st.sampled_from(["noise", "flat", "gradient"]),
+            sub=st.sampled_from([False, True, "422"]),
+            ri=st.sampled_from([0, 2]),
+        )
+        @settings(max_examples=25, deadline=None)
+        def check(h, w, seed, style, sub, ri):
+            rng = np.random.RandomState(seed)
+            if style == "noise":
+                img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            elif style == "flat":
+                img = np.full((h, w, 3), int(rng.randint(0, 256)), np.uint8)
+            else:
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.clip(
+                    np.stack([xx * 7 % 256, yy * 5 % 256, (xx + yy) % 256], 2)
+                    + rng.randint(-20, 21, (h, w, 3)),
+                    0,
+                    255,
+                ).astype(np.uint8)
+            base = decode_jpeg(
+                encode_jpeg(img, subsample=sub, restart_interval=ri)
+            )
+            prog = decode_jpeg(
+                encode_jpeg_progressive(img, subsample=sub, restart_interval=ri)
+            )
+            np.testing.assert_array_equal(base, prog)
+            # sanity: the decode is a real reconstruction, not a constant
+            assert base.shape == (h, w, 3)
+
+        check()
