@@ -11,8 +11,8 @@ ITU-T T.81 codec in ``functions/jpeg.py``: Annex K tables, canonical
 Huffman, matrix DCT, spectral selection + successive approximation;
 4:4:4, 4:2:2, 4:2:0 + grayscale; DRI/RSTn restart intervals) — plus a
 nearest-neighbor ``resize`` kernel.
-Remaining variants (arithmetic / 16-bit jpeg, exotic
-PNG) decode through the PLUGGABLE registry: if
+Remaining variants (arithmetic / 16-bit jpeg,
+sub-byte-depth PNG) decode through the PLUGGABLE registry: if
 the optional public Pillow dependency is importable on the executors,
 ``decode_image`` prefers it; otherwise unsupported variants raise a
 clearly-marked ``NotImplementedError`` (feature extraction falls back to
@@ -151,33 +151,29 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
-    """uint8 image → PNG bytes (fixture encoder; also documents the layout
-    ``decode_png`` parses). Shape (h, w) → grayscale, (h, w, 3) → RGB,
-    (h, w, 4) → RGBA. ``filter_type`` (0..4) is applied to EVERY row so
-    round-trip tests exercise each unfilter branch of the decoder."""
-    img = np.asarray(img, dtype=np.uint8)
-    if img.ndim == 2:
-        color_type, ch = 0, 1
-        rows = img[:, :, None]
-    elif img.shape[2] == 3:
-        color_type, ch = 2, 3
-        rows = img
-    elif img.shape[2] == 4:
-        color_type, ch = 6, 4
-        rows = img
-    else:
-        raise ValueError(f"unsupported channel count {img.shape[2]}")
-    h, w = img.shape[:2]
-    raw = rows.reshape(h, w * ch).astype(np.int16)
-    prior = np.zeros(w * ch, dtype=np.int16)
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _filter_image_bytes(
+    rows: np.ndarray, bpp: int, filter_type: int
+) -> bytearray:
+    """Filter a (n_rows, stride)-byte image per PNG §9: one filter-type
+    byte then the filtered row. ``bpp`` = bytes per pixel (filters always
+    operate on BYTES — the same code serves 8- and 16-bit depths)."""
+    n, stride = rows.shape
+    raw = rows.astype(np.int16)
+    prior = np.zeros(stride, dtype=np.int16)
     out = bytearray()
-    for y in range(h):
+    for y in range(n):
         cur = raw[y]
-        left = np.zeros(w * ch, dtype=np.int16)
-        left[ch:] = cur[:-ch]
-        up_left = np.zeros(w * ch, dtype=np.int16)
-        up_left[ch:] = prior[:-ch]
+        left = np.zeros(stride, dtype=np.int16)
+        left[bpp:] = cur[:-bpp]
+        up_left = np.zeros(stride, dtype=np.int16)
+        up_left[bpp:] = prior[:-bpp]
         if filter_type == 0:
             filt = cur
         elif filter_type == 1:
@@ -193,7 +189,59 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
         out.append(filter_type)
         out += (filt & 0xFF).astype(np.uint8).tobytes()
         prior = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return out
+
+
+def encode_png(
+    img: np.ndarray,
+    filter_type: int = 0,
+    depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
+    """uint8 image → PNG bytes (fixture encoder; also documents the layout
+    ``decode_png`` parses). Shape (h, w) → grayscale, (h, w, 3) → RGB,
+    (h, w, 4) → RGBA. ``filter_type`` (0..4) is applied to EVERY row so
+    round-trip tests exercise each unfilter branch of the decoder;
+    ``depth=16`` scales samples by 257 (v*257 keeps the high byte == v, so
+    the 8-bit readback is exact); ``interlace=True`` emits Adam7 passes."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color_type, ch = 0, 1
+        px = img[:, :, None]
+    elif img.shape[2] == 3:
+        color_type, ch = 2, 3
+        px = img
+    elif img.shape[2] == 4:
+        color_type, ch = 6, 4
+        px = img
+    else:
+        raise ValueError(f"unsupported channel count {img.shape[2]}")
+    h, w = img.shape[:2]
+    if depth == 8:
+        data = px
+        bps = 1
+    elif depth == 16:
+        wide = (px.astype(np.uint16) * 257).astype(">u2")
+        data = wide.view(np.uint8).reshape(h, w, ch * 2)
+        bps = 2
+    else:
+        raise ValueError(f"fixture encoder supports depth 8/16, not {depth}")
+    bpp = ch * bps
+    out = bytearray()
+    if not interlace:
+        out += _filter_image_bytes(data.reshape(h, w * bpp), bpp, filter_type)
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = data[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            out += _filter_image_bytes(
+                sub.reshape(ph, pw * bpp), bpp, filter_type
+            )
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -211,18 +259,64 @@ def _paeth(left: np.ndarray, up: np.ndarray, up_left: np.ndarray) -> np.ndarray:
     )
 
 
+def _unfilter_rows(raw: np.ndarray, bpp: int) -> np.ndarray:
+    """Unfilter (n_rows, stride+1) PNG-filtered bytes into (n_rows,
+    stride) reconstructed bytes. ``bpp`` = bytes per pixel; the
+    Sub/Average/Paeth recurrences run per-pixel, vectorized across the
+    pixel's bytes (the same code serves 8- and 16-bit depths and every
+    Adam7 pass)."""
+    n, stride1 = raw.shape
+    stride = stride1 - 1
+    recon = np.zeros((n, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(n):
+        ftype = raw[y, 0]
+        cur = raw[y, 1:].astype(np.int32)
+        if ftype == 0:
+            line = cur
+        elif ftype == 2:
+            line = (cur + prior) & 0xFF
+        elif ftype in (1, 3, 4):
+            line = cur  # in-place recurrence along x, vectorized over bpp
+            for x in range(0, stride, bpp):
+                left = line[x - bpp : x] if x else np.zeros(bpp, dtype=np.int32)
+                up = prior[x : x + bpp]
+                if ftype == 1:
+                    line[x : x + bpp] = (line[x : x + bpp] + left) & 0xFF
+                elif ftype == 3:
+                    line[x : x + bpp] = (
+                        line[x : x + bpp] + (left + up) // 2
+                    ) & 0xFF
+                else:
+                    up_left = (
+                        prior[x - bpp : x]
+                        if x
+                        else np.zeros(bpp, dtype=np.int32)
+                    )
+                    line[x : x + bpp] = (
+                        line[x : x + bpp] + _paeth(left, up, up_left)
+                    ) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        recon[y] = line
+        prior = line.astype(np.int32)
+    return recon
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """REAL PNG decode → uint8 (h, w, 3) RGB, pure stdlib-zlib + numpy.
 
     Full chunk walk with CRC verification, multi-IDAT concatenation, zlib
     inflate, and per-row unfiltering (all five filter types — None/Sub/Up/
     Average/Paeth — with the sequential Sub/Average/Paeth recurrences run
-    per-pixel but vectorized across channels). Supported: 8-bit depth,
+    per-pixel but vectorized across the pixel's bytes). Supported: 8- AND
+    16-bit depths (16-bit keeps the big-endian high byte, Pillow
+    ``convert("RGB")`` semantics), Adam7 INTERLACED and non-interlaced
+    layouts (seven independently-filtered sub-images scattered back),
     color types 0 (gray), 2 (RGB), 3 (palette via PLTE), 4 (gray+alpha),
-    6 (RGBA), non-interlaced; alpha is dropped (Pillow ``convert("RGB")``
-    semantics), gray broadcast to 3 channels. 16-bit, sub-byte depths and
-    Adam7 interlacing raise ``NotImplementedError`` (the pluggable Pillow
-    path picks those up when present)."""
+    6 (RGBA); alpha is dropped, gray broadcast to 3 channels. Sub-byte
+    depths (1/2/4-bit) raise ``NotImplementedError`` (the pluggable
+    Pillow path picks those up when present)."""
     if len(payload) < 8 or payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = 8
@@ -252,51 +346,51 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color_type, compression, filter_method, interlace = ihdr
     if color_type not in _PNG_CHANNELS or compression != 0 or filter_method != 0:
         raise ValueError(f"bad PNG header (color_type={color_type})")
-    if depth != 8 or interlace != 0:
+    if depth not in (8, 16) or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG depth={depth} interlace={interlace} needs the optional "
-            "Pillow codec (8-bit non-interlaced decodes built-in)"
+            "Pillow codec (8/16-bit, interlace 0/1 decode built-in)"
         )
+    if depth == 16 and color_type == 3:
+        raise ValueError("palette PNG cannot be 16-bit")
     ch = _PNG_CHANNELS[color_type]
-    stride = w * ch
+    bps = depth // 8
+    bpp = ch * bps
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    recon = np.zeros((h, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        ftype = raw[y, 0]
-        cur = raw[y, 1:].astype(np.int32)
-        if ftype == 0:
-            line = cur
-        elif ftype == 2:
-            line = (cur + prior) & 0xFF
-        elif ftype in (1, 3, 4):
-            line = cur  # in-place recurrence along x, vectorized over ch
-            for x in range(0, stride, ch):
-                left = line[x - ch : x] if x else np.zeros(ch, dtype=np.int32)
-                up = prior[x : x + ch]
-                if ftype == 1:
-                    line[x : x + ch] = (line[x : x + ch] + left) & 0xFF
-                elif ftype == 3:
-                    line[x : x + ch] = (
-                        line[x : x + ch] + (left + up) // 2
-                    ) & 0xFF
-                else:
-                    up_left = (
-                        prior[x - ch : x] if x else np.zeros(ch, dtype=np.int32)
-                    )
-                    line[x : x + ch] = (
-                        line[x : x + ch] + _paeth(left, up, up_left)
-                    ) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        recon[y] = line
-        prior = line.astype(np.int32)
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+        recon = _unfilter_rows(rows, bpp)
+    else:  # Adam7: 7 independently-filtered sub-images, scattered back
+        recon = np.zeros((h, w * bpp), dtype=np.uint8)
+        recon3 = recon.reshape(h, w, bpp)
+        pos2 = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, -(-(w - x0) // dx))
+            ph = max(0, -(-(h - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue
+            stride = pw * bpp
+            need = ph * (stride + 1)
+            if pos2 + need > len(raw):
+                raise ValueError("PNG pixel data length mismatch")
+            rows = np.frombuffer(
+                raw[pos2 : pos2 + need], dtype=np.uint8
+            ).reshape(ph, stride + 1)
+            recon3[y0::dy, x0::dx] = _unfilter_rows(rows, bpp).reshape(
+                ph, pw, bpp
+            )
+            pos2 += need
+        if pos2 != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+    if depth == 16:
+        # big-endian 16-bit samples: keep the high byte (Pillow semantics)
+        recon = np.ascontiguousarray(recon.reshape(h, w * ch, 2)[:, :, 0])
     px = recon.reshape(h, w, ch)
     if color_type == 3:
         if plte is None:
@@ -348,11 +442,11 @@ def sniff_image_format(payload: bytes) -> str | None:
 def decode_image(payload: bytes) -> np.ndarray:
     """Image decode dispatch → uint8 (h, w, 3) RGB.
 
-    BMP, 8-bit PNG and jpeg (baseline/multi-scan/progressive; 4:4:4,
-    4:2:0, 4:2:2, grayscale; restart intervals — ``functions/jpeg.py``)
-    decode with the built-in pure-numpy codecs — no external
-    dependency. The residual variants
-    (16-bit/interlaced PNG, arithmetic / 16-bit jpeg)
+    BMP, PNG (8/16-bit, Adam7 interlaced or not) and jpeg
+    (baseline/multi-scan/progressive; 4:4:4, 4:2:0, 4:2:2, grayscale;
+    restart intervals — ``functions/jpeg.py``) decode with the built-in
+    pure-numpy codecs — no external dependency. The residual variants
+    (sub-byte-depth PNG, arithmetic / 16-bit jpeg)
     decode for REAL when Pillow is importable (optional public
     dependency — the core never requires it); without it they raise
     ``NotImplementedError`` with an actionable message, exactly the
@@ -366,7 +460,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         except (NotImplementedError, ValueError):
             if _pil() is None:
                 raise
-            # 16-bit / interlaced variants — and corrupt-looking files
+            # sub-byte-depth variants — and corrupt-looking files
             # (CRC mismatch etc.) that a battle-tested decoder may still
             # salvage — fall through to Pillow
     if kind in ("jpeg", "png"):

@@ -339,7 +339,10 @@ class TestPngCodec:
         with pytest.raises(ValueError, match="IDAT"):
             decode_png(bad)
 
-    def test_16bit_routes_to_pluggable_codec(self):
+    def test_16bit_decodes_builtin(self):
+        """Round 5 moved 16-bit depth into the built-in codec: a
+        hand-built 2x2 16-bit RGB file decodes (high-byte readback)
+        instead of routing to the pluggable Pillow path."""
         from biomedical_entity_linking_spark.operators.multimodal import (
             _png_chunk,
             _PNG_SIG,
@@ -354,8 +357,9 @@ class TestPngCodec:
             + _png_chunk(b"IDAT", __import__("zlib").compress(b"\x00" * 26))
             + _png_chunk(b"IEND", b"")
         )
-        with pytest.raises(NotImplementedError):
-            decode_png(deep)
+        out = decode_png(deep)
+        assert out.shape == (2, 2, 3)
+        assert (out == 0).all()
 
     def test_palette_decode(self):
         from biomedical_entity_linking_spark.operators.multimodal import (
@@ -987,3 +991,51 @@ class TestJpegPropertyBased:
             assert base.shape == (h, w, 3)
 
         check()
+
+
+class TestPng16BitAndInterlace:
+    """Round-5 PNG codec extensions: 16-bit depth (big-endian high-byte
+    readback) and Adam7 interlace (seven independently-filtered
+    sub-images) — every (filter x depth x interlace x color-type) cell
+    must reconstruct the same pixels as the plain 8-bit encoding."""
+
+    @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+    def test_matrix_roundtrip(self, filter_type):
+        from biomedical_entity_linking_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        rng = np.random.RandomState(17 + filter_type)
+        for shape in [(13, 17, 3), (8, 8), (5, 9, 4), (1, 1, 3)]:
+            img = rng.randint(0, 256, shape).astype(np.uint8)
+            want = decode_png(encode_png(img))
+            for depth in (8, 16):
+                for interlace in (False, True):
+                    got = decode_png(
+                        encode_png(
+                            img, filter_type, depth=depth, interlace=interlace
+                        )
+                    )
+                    np.testing.assert_array_equal(got, want)
+
+    def test_subbyte_depth_still_raises(self):
+        import struct
+        import zlib
+
+        from biomedical_entity_linking_spark.operators.multimodal import (
+            _PNG_SIG,
+            _png_chunk,
+            decode_png,
+        )
+
+        # hand-build a 1-bit grayscale header: the declared residue
+        ihdr = struct.pack(">IIBBBBB", 4, 1, 1, 0, 0, 0, 0)
+        payload = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00\xf0"))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError, match="depth=1"):
+            decode_png(payload)
