@@ -1,0 +1,142 @@
+"""Standalone scaling probe for round 5's new operators:
+``neardup_clusters`` (MinHash-LSH candidates → gated edges →
+large-star/small-star connected components → per-doc cluster labels —
+the heaviest new round-5 operator: a shingle relation, a banded
+self-join AND an iterative CC all in one query) and ``url_dedup``
+(per-row URL canonicalization + counting groupBy — expected to scale
+near-perfectly: one codegen span into one small-group shuffle).
+
+Same N vs 4N evidence pattern as ``dedup_scale_bench.py``: input
+materialized once, each (op, leg) in its OWN fresh subprocess with heap
+scaled per-core, best-of-N trials.
+
+The corpus derives from the distributed pages generator: pages of one
+entity share phrasing, so LSH candidates form real small cliques (the
+near-dup structure a crawl has), and CC closes them. For url_dedup the
+corpus carries the (doc_id, source, n_chars) columns the driver query's
+deterministic URL synthesis expects.
+
+Usage: ``python tools/neardup_scale_bench.py [n_entities]`` (default
+100_000 ≈ 333k docs); legs via ``SCALING_LEGS`` (default "2,8"),
+trials via ``SCALING_TRIALS`` (default 2),
+heap via ``DEDUP_BENCH_GB_PER_CORE`` (default 6 g/core).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+_CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, ".")
+from pyspark.sql import functions as F
+from biomedical_entity_linking_spark.session import get_spark
+from biomedical_entity_linking_spark.operators.dedup import neardup_clusters
+from biomedical_entity_linking_spark.operators.weburl import url_dedup
+
+cpus = int(sys.argv[1]); sf_dir = sys.argv[2]; which = sys.argv[3]
+parts = int(os.environ.get("DEDUP_BENCH_PARTS", "64"))
+os.environ.setdefault(
+    "SPARK_DRIVER_MEM",
+    f"{int(os.environ.get('DEDUP_BENCH_GB_PER_CORE', '6')) * cpus}g",
+)
+spark = get_spark(app_name=f"neardupscale{cpus}", cores=cpus,
+                  shuffle_partitions=max(parts, 2 * cpus))
+docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+n = docs.count()  # warm scan
+out = {"cpus": cpus, "docs": n, "op": which}
+fn = neardup_clusters if which == "neardup_clusters" else url_dedup
+t0 = time.time()
+out[which + "_rows"] = fn(spark, sf_dir).count()
+out[which + "_sec"] = round(time.time() - t0, 2)
+print(json.dumps(out))
+"""
+
+
+def _gen_docs(n_entities: int) -> str:
+    sys.path.insert(0, ".")
+    from biomedical_entity_linking_spark.data.generator import (
+        generate_pages_distributed,
+    )
+    from biomedical_entity_linking_spark.session import get_spark
+
+    path = f"/tmp/spark_linkage_scaling/neardup_docs_{n_entities}_seed42"
+    if not os.path.exists(path + "._OK"):
+        from pyspark.sql import functions as F
+
+        spark = get_spark(app_name="neardup-gen", cores=32)
+        pages, _ = generate_pages_distributed(
+            spark, n_entities, seed=42, body_tokens=150, partitions=128
+        )
+        pages.select(
+            F.abs(F.xxhash64("url")).alias("doc_id"),
+            F.col("text"),
+            # columns the url_dedup query's deterministic synthesis reads
+            F.concat(
+                F.lit("src"), (F.abs(F.xxhash64("url")) % 20).cast("string")
+            ).alias("source"),
+            F.length("text").alias("n_chars"),
+        ).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+        with open(path + "._OK", "w") as f:
+            f.write("ok")
+        spark.stop()
+    return path
+
+
+def _run_leg(cpus: int, sf_dir: str, op: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", _CHILD, str(cpus), sf_dir, op],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    if out.returncode != 0:
+        raise SystemExit(
+            f"leg cpus={cpus} op={op} failed:\n{out.stderr[-3000:]}"
+        )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_entities = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    legs = [int(x) for x in os.environ.get("SCALING_LEGS", "2,8").split(",")]
+    trials = int(os.environ.get("SCALING_TRIALS", "2"))
+    sf_dir = _gen_docs(n_entities)
+    lo, hi = legs
+    result = {
+        "probe": "neardup_weburl",
+        "n_entities": n_entities,
+        "legs": legs,
+        "trials": trials,
+    }
+    for op in ("url_dedup", "neardup_clusters"):
+        best = {}
+        for cpus in (lo, hi):
+            runs = [_run_leg(cpus, sf_dir, op) for _ in range(trials)]
+            for r in runs:
+                print(json.dumps(r), flush=True)
+            best[cpus] = {
+                k: (
+                    min(r[k] for r in runs)
+                    if k.endswith("_sec")
+                    else runs[0][k]
+                )
+                for k in runs[0]
+            }
+        result.setdefault("docs", best[lo]["docs"])
+        eff = (best[lo][op + "_sec"] / best[hi][op + "_sec"]) / (hi / lo)
+        result[op] = {
+            f"sec_{lo}": best[lo][op + "_sec"],
+            f"sec_{hi}": best[hi][op + "_sec"],
+            "rows": best[lo][op + "_rows"],
+            "efficiency": round(eff, 3),
+        }
+        assert best[lo][op + "_rows"] == best[hi][op + "_rows"], op
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
