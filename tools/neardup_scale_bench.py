@@ -19,6 +19,7 @@ deterministic URL synthesis expects.
 Usage: ``python tools/neardup_scale_bench.py [n_entities]`` (default
 100_000 ≈ 333k docs); legs via ``SCALING_LEGS`` (default "2,8"),
 trials via ``SCALING_TRIALS`` (default 2),
+op subset via ``SCALING_OPS`` (comma list, default both),
 heap via ``DEDUP_BENCH_GB_PER_CORE`` (default 6 g/core).
 """
 
@@ -112,7 +113,10 @@ def main() -> None:
         "legs": legs,
         "trials": trials,
     }
-    for op in ("url_dedup", "neardup_clusters"):
+    ops = tuple(
+        os.environ.get("SCALING_OPS", "url_dedup,neardup_clusters").split(",")
+    )
+    for op in ops:
         best = {}
         for cpus in (lo, hi):
             runs = [_run_leg(cpus, sf_dir, op) for _ in range(trials)]
