@@ -21,6 +21,7 @@ FAST_QUERIES = [
     "first_ship_per_supplier",
     "event_gaps",
     "ivf_topk",
+    "pair_scores",
 ]
 
 

@@ -151,3 +151,63 @@ class TestUniquifierShortCircuits:
         assert len(out) == 2 and all(0.0 <= v <= 1.0 for v in out)
         out2 = token_set_lev_batch(a, b)
         assert len(out2) == 2 and all(0.0 <= v <= 1.0 for v in out2)
+
+
+class TestDuckDBBitEquality:
+    """The pair_scores oracle (operators/string_scores.py) hashes UNROUNDED
+    kernel semantics: DuckDB's independent jaro_winkler_similarity /
+    levenshtein implementations must agree with the production kernels
+    bit-for-bit on word-vocab titles — not merely to 1e-6."""
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.lists(
+                    st.sampled_from(
+                        "key agg row scan slow fast table value part "
+                        "hash the line sort window batch spark".split()
+                    ),
+                    min_size=1,
+                    max_size=5,
+                ),
+                st.lists(
+                    st.sampled_from(
+                        "key agg row scan slow fast table value part "
+                        "hash the line sort window batch spark".split()
+                    ),
+                    min_size=1,
+                    max_size=5,
+                ),
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def test_kernels_match_duckdb_bitwise(self, pairs):
+        import duckdb
+
+        a = pd.Series([" ".join(x) for x, _ in pairs])
+        b = pd.Series([" ".join(y) for _, y in pairs])
+        jw = jaro_winkler_batch(a, b).to_numpy()
+        ts = token_set_lev_batch(a, b).to_numpy()
+        con = duckdb.connect()
+        con.register("p", pd.DataFrame({"a": a, "b": b}))
+        d = con.execute(
+            """
+            SELECT jaro_winkler_similarity(a, b) AS jw,
+                   CASE WHEN sa = sb THEN 1.0
+                        ELSE 1.0 - CAST(levenshtein(sa, sb) AS DOUBLE)
+                                   / greatest(length(sa), length(sb)) END
+                     AS ts
+            FROM (
+              SELECT a, b,
+                array_to_string(
+                  list_sort(list_distinct(string_split(a, ' '))), ' ') AS sa,
+                array_to_string(
+                  list_sort(list_distinct(string_split(b, ' '))), ' ') AS sb
+              FROM p)
+            """
+        ).df()
+        assert (d["jw"].to_numpy() == jw).all()
+        assert (d["ts"].to_numpy() == ts).all()
