@@ -22,6 +22,7 @@ FAST_QUERIES = [
     "event_gaps",
     "ivf_topk",
     "pair_scores",
+    "tfidf_cosine_topk",
 ]
 
 

@@ -87,6 +87,43 @@ def _gen_docs(n_entities: int) -> str:
     return path
 
 
+def _gen_slim_docs(n_docs: int) -> str:
+    """Key-columns-only corpus for url_dedup legs (``SCALING_SLIM_DOCS``).
+
+    url_dedup's scan reads ONLY (doc_id, source) — the per-row
+    canonicalization needs no content bytes (that is the operator's whole
+    point at 100 TB). At body-bearing corpus sizes the op finishes in
+    seconds and the measurement is all stage-launch fixed cost, so the
+    slim mode synthesizes the key columns alone via ``spark.range`` at a
+    cardinality where the per-row work dominates. Deterministic (pure
+    function of the row id), no entity structure needed — url_dedup's
+    dup groups come from its own doc_id-residue noise synthesis."""
+    sys.path.insert(0, ".")
+    from biomedical_entity_linking_spark.session import get_spark
+
+    path = f"/tmp/spark_linkage_scaling/slim_urls_{n_docs}"
+    if not os.path.exists(path + "._OK"):
+        from pyspark.sql import functions as F
+
+        spark = get_spark(app_name="slimurl-gen", cores=32)
+        (
+            spark.range(0, n_docs, 1, 128)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat(
+                    F.lit("src"), (F.col("id") % 20).cast("string")
+                ).alias("source"),
+                (F.lit(80) + F.col("id") % 400).alias("n_chars"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/documents.parquet")
+        )
+        with open(path + "._OK", "w") as f:
+            f.write("ok")
+        spark.stop()
+    return path
+
+
 def _run_leg(cpus: int, sf_dir: str, op: str) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", _CHILD, str(cpus), sf_dir, op],
@@ -105,11 +142,15 @@ def main() -> None:
     n_entities = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     legs = [int(x) for x in os.environ.get("SCALING_LEGS", "2,8").split(",")]
     trials = int(os.environ.get("SCALING_TRIALS", "2"))
-    sf_dir = _gen_docs(n_entities)
+    slim_docs = int(os.environ.get("SCALING_SLIM_DOCS", "0"))
+    if slim_docs:
+        sf_dir = _gen_slim_docs(slim_docs)
+    else:
+        sf_dir = _gen_docs(n_entities)
     lo, hi = legs
     result = {
-        "probe": "neardup_weburl",
-        "n_entities": n_entities,
+        "probe": "neardup_weburl" if not slim_docs else "weburl_slim",
+        "n_entities": n_entities if not slim_docs else None,
         "legs": legs,
         "trials": trials,
     }
