@@ -29,6 +29,7 @@ from biomedical_entity_linking_spark.operators import similarity as SIM
 from biomedical_entity_linking_spark.operators import text_analysis as TA
 from biomedical_entity_linking_spark.operators import string_scores as SS
 from biomedical_entity_linking_spark.operators import tfidf as TI
+from biomedical_entity_linking_spark.operators import linkgraph as LG
 from biomedical_entity_linking_spark.operators import weburl as WU
 
 # ---------------------------------------------------------------------------
@@ -471,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # web-crawl key canonicalization
         "pair_scores": SS.pair_scores,
         "tfidf_cosine_topk": TI.tfidf_cosine_topk,
+        "pagerank": LG.pagerank,
         "url_dedup": WU.url_dedup,
         "host_stats": WU.host_stats,
         # near-dup cluster formation (LSH edges → connected components)
@@ -530,6 +532,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": TA.PII_SCRUB_SQL,
         "pair_scores": SS.PAIR_SCORES_SQL,
         "tfidf_cosine_topk": TI.TFIDF_COSINE_TOPK_SQL,
+        "pagerank": LG.PAGERANK_SQL,
         "url_dedup": WU.URL_DEDUP_SQL,
         "host_stats": WU.HOST_STATS_SQL,
         "neardup_clusters": D.NEARDUP_CLUSTERS_SQL,

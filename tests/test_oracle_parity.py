@@ -23,6 +23,7 @@ FAST_QUERIES = [
     "ivf_topk",
     "pair_scores",
     "tfidf_cosine_topk",
+    "pagerank",
 ]
 
 
