@@ -79,7 +79,20 @@ def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    tf = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("tf"))
+    # tf and w are each referenced by several downstream relations; without
+    # materialization Catalyst re-derives them from the SCAN every time
+    # (measured: 12 FileScans, zero ReusedExchange) — at 100 TB that is 12
+    # corpus reads for one query. Persisting the two shared sparse-matrix
+    # relations is the standard explicit materialization every sparse
+    # retrieval system performs (build the index once, then probe it).
+    # Sandbox cost of the barrier: warm same-session A/B at sf0.1 read
+    # 5.6 s persisted vs 4.4 s re-scanning — ~1 s for 12x fewer scans,
+    # a trade that inverts violently the moment the scan isn't ~MBs.
+    tf = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
     # corpus size as a 1-row broadcast relation — no driver collect
     n_rel = titles.agg(F.count("*").alias("n_docs"))
     df_rel = tf.groupBy("gram").agg(
@@ -91,8 +104,10 @@ def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(n_docs * {_IDF_SCALE}) div df"), F.lit(_IDF_CAP)
         ).alias("idf_q"),
     )
-    w = tf.join(idf, "gram").select(
-        "doc_id", "gram", (F.col("tf") * F.col("idf_q")).alias("w")
+    w = (
+        tf.join(idf, "gram")
+        .select("doc_id", "gram", (F.col("tf") * F.col("idf_q")).alias("w"))
+        .persist()
     )
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).alias("norm2")
