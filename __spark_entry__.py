@@ -29,6 +29,7 @@ from biomedical_entity_linking_spark.operators import similarity as SIM
 from biomedical_entity_linking_spark.operators import text_analysis as TA
 from biomedical_entity_linking_spark.operators import string_scores as SS
 from biomedical_entity_linking_spark.operators import tfidf as TI
+from biomedical_entity_linking_spark.operators import asof as AO
 from biomedical_entity_linking_spark.operators import linkgraph as LG
 from biomedical_entity_linking_spark.operators import weburl as WU
 
@@ -473,6 +474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_scores": SS.pair_scores,
         "tfidf_cosine_topk": TI.tfidf_cosine_topk,
         "pagerank": LG.pagerank,
+        "click_attribution_asof": AO.click_attribution_asof,
+        "length_quantiles": TA.length_quantiles,
         "url_dedup": WU.url_dedup,
         "host_stats": WU.host_stats,
         # near-dup cluster formation (LSH edges → connected components)
@@ -533,6 +536,8 @@ def oracle_sql() -> dict[str, str]:
         "pair_scores": SS.PAIR_SCORES_SQL,
         "tfidf_cosine_topk": TI.TFIDF_COSINE_TOPK_SQL,
         "pagerank": LG.PAGERANK_SQL,
+        "click_attribution_asof": AO.CLICK_ATTRIBUTION_ASOF_SQL,
+        "length_quantiles": TA.LENGTH_QUANTILES_SQL,
         "url_dedup": WU.URL_DEDUP_SQL,
         "host_stats": WU.HOST_STATS_SQL,
         "neardup_clusters": D.NEARDUP_CLUSTERS_SQL,

@@ -16,7 +16,7 @@ Reference analogs: tokenization/normalization scalar work
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # BPE-ish tokenizer regex: letter runs | single digits | single punctuation.
@@ -657,4 +657,70 @@ SELECT doc_id,
              '{_PII_PHONE}', '<PHONE>', 'g')) AS scrub_md5
 FROM documents
 ORDER BY doc_id
+"""
+
+
+def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source document-length percentiles (p50/p90/p99) — the
+    numbers that set a corpus's quality cutoffs (truncation budgets,
+    too-short filters). Built-in percentile functions are avoided on
+    BOTH sides: Spark's exact ``percentile`` interpolates in floats
+    (addition-order-hashable nowhere) and ``percentile_approx`` is a
+    sketch — so the op implements the discrete-percentile definition
+    (smallest value whose rank reaches ceil(q·n)) directly with integer
+    arithmetic: one window rank per source + a conditional aggregate.
+    ceil(q·n) is computed as ``(q_num·n + q_den - 1) div q_den`` —
+    exact in both engines.
+
+    Scale shape: one shuffle keyed by source + a per-partition sort —
+    the honest cost of EXACT percentiles (they are order statistics; a
+    global pass per group is irreducible). At 10^12 rows the default
+    tool is a mergeable sketch (t-digest / percentile_approx) with THIS
+    operator as the exact-audit path on sampled partitions; sources are
+    the natural partition key and skew-bounded (a source's group sorts
+    within its own partitions via range partitioning)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    def _pick(num: int, den: int, name: str):
+        target = F.expr(f"({num} * n + {den} - 1) div {den}")
+        return F.max(
+            F.when(F.col("rn") == target, F.col("n_chars"))
+        ).alias(name)
+
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            _pick(1, 2, "p50"),
+            _pick(9, 10, "p90"),
+            _pick(99, 100, "p99"),
+        )
+        .orderBy("source")
+    )
+
+
+LENGTH_QUANTILES_SQL = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source,
+       max(n) AS n_docs,
+       max(CASE WHEN rn = (1 * n + 1) // 2 THEN n_chars END) AS p50,
+       max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS p90,
+       max(CASE WHEN rn = (99 * n + 99) // 100 THEN n_chars END) AS p99
+FROM ranked
+GROUP BY source
+ORDER BY source
 """

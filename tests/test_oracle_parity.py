@@ -24,6 +24,8 @@ FAST_QUERIES = [
     "pair_scores",
     "tfidf_cosine_topk",
     "pagerank",
+    "click_attribution_asof",
+    "length_quantiles",
 ]
 
 
