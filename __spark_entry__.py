@@ -27,6 +27,7 @@ from biomedical_entity_linking_spark.operators import multimodal as MM
 from biomedical_entity_linking_spark.operators import metrics as MT
 from biomedical_entity_linking_spark.operators import similarity as SIM
 from biomedical_entity_linking_spark.operators import text_analysis as TA
+from biomedical_entity_linking_spark.operators import sketch as SK
 from biomedical_entity_linking_spark.operators import string_scores as SS
 from biomedical_entity_linking_spark.operators import tfidf as TI
 from biomedical_entity_linking_spark.operators import asof as AO
@@ -476,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": LG.pagerank,
         "click_attribution_asof": AO.click_attribution_asof,
         "length_quantiles": TA.length_quantiles,
+        "vocab_hll_registers": SK.vocab_hll_registers,
         "url_dedup": WU.url_dedup,
         "host_stats": WU.host_stats,
         # near-dup cluster formation (LSH edges → connected components)
@@ -538,6 +540,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": LG.PAGERANK_SQL,
         "click_attribution_asof": AO.CLICK_ATTRIBUTION_ASOF_SQL,
         "length_quantiles": TA.LENGTH_QUANTILES_SQL,
+        "vocab_hll_registers": SK.VOCAB_HLL_REGISTERS_SQL,
         "url_dedup": WU.URL_DEDUP_SQL,
         "host_stats": WU.HOST_STATS_SQL,
         "neardup_clusters": D.NEARDUP_CLUSTERS_SQL,

@@ -1,0 +1,143 @@
+"""HyperLogLog register construction — the mergeable-sketch primitive.
+
+Counting distinct anything (urls, tokens, users) exactly at 10^12 rows
+costs a full shuffle of the distinct keys; every serious pipeline
+carries a MERGEABLE sketch instead: per-partition register tables that
+combine by element-wise max — associative, commutative, idempotent —
+so cardinality estimation becomes one tiny aggregation, resumable and
+cross-shard combinable for free. Spark ships HLL++ inside
+``approx_count_distinct``, but its registers are opaque and its
+estimate unhashable across engines; this operator builds the register
+TABLE itself as a first-class relation, so the sketch state can be
+stored, merged across days/shards, and — because every step is integer
+arithmetic on an md5-derived hash — certified bit-exact against the
+DuckDB oracle (the estimate never crosses engines, only registers do).
+
+Construction (classic Flajolet HLL, p = 8 → m = 256 registers):
+``h`` = first 60 bits of md5(token) (15 hex chars — both engines parse
+identically, probed: conv(...,16,10) == ('0x'||...)::BIGINT);
+``bucket = h mod 256``; ``rho`` = leading-zero count of the remaining
+52 bits + 1, computed by a generated 52-arm integer CASE ladder (NO
+log2/floats — libm is not portable across engines). The aggregation
+is ``groupBy(source, bucket).max(rho)`` — ONE map-side-combining
+shuffle whose key space is at most sources × 256 regardless of input
+size: the 100 TB shape by construction. Duplicate tokens need no
+pre-dedup — max() absorbs them; that insensitivity IS the sketch.
+
+Per-SOURCE register tables (not one global sketch) exercise the real
+deployment pattern: each shard/day/source keeps its own registers and
+any subset union-merges by max. ``merge_registers`` +
+``hll_estimate`` (below) are the read path; mergeability (per-source
+max-merge == whole-corpus sketch) and estimate accuracy are pinned by
+pytest, while the driver oracle hashes the register construction.
+
+Reference analog: the reference counts distinct mentions/CUIs eagerly
+(pandas ``nunique`` over collected frames, e.g.
+``bioel/bioel/utils/bigbio_utils.py`` dataset summaries); at crawl
+scale that exact pass is the thing this sketch replaces.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+_SUFFIX_BITS = 60 - HLL_P  # 52
+
+# integer bit-length CASE ladder (portable: same SQL text runs in Spark
+# and DuckDB; no floats, no libm)
+_BITLEN_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN suffix >= {1 << k} THEN {k + 1}"
+        for k in range(_SUFFIX_BITS - 1, -1, -1)
+    )
+    + " ELSE 0 END"
+)
+
+
+def vocab_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → per-source HLL registers over the token vocabulary.
+
+    Output: (source, bucket, max_rho) — the sketch state itself.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    hashed = toks.select(
+        "source",
+        F.conv(F.substring(F.md5("token"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    staged = hashed.select(
+        "source",
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("suffix"),
+    ).select(
+        "source",
+        "bucket",
+        (F.lit(_SUFFIX_BITS + 1) - F.expr(_BITLEN_CASE)).alias("rho"),
+    )
+    return (
+        staged.groupBy("source", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+        .orderBy("source", "bucket")
+    )
+
+
+VOCAB_HLL_REGISTERS_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+hashed AS (
+  SELECT source,
+         ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+  FROM toks
+),
+staged AS (
+  SELECT source, h % {HLL_M} AS bucket, h // {HLL_M} AS suffix FROM hashed
+),
+rhos AS (
+  SELECT source, bucket, {_SUFFIX_BITS + 1} - ({_BITLEN_CASE}) AS rho
+  FROM staged
+)
+SELECT source, bucket, max(rho) AS max_rho
+FROM rhos
+GROUP BY source, bucket
+ORDER BY source, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# read path (driver-side, O(m) — registers, not data)
+# ---------------------------------------------------------------------------
+
+
+def merge_registers(*registers: dict[int, int]) -> dict[int, int]:
+    """Union-merge sketches: element-wise max. Associative/commutative/
+    idempotent — merging any partitioning of the input equals sketching
+    the whole (pinned by pytest)."""
+    out: dict[int, int] = {}
+    for reg in registers:
+        for b, r in reg.items():
+            if r > out.get(b, 0):
+                out[b] = r
+    return out
+
+
+def hll_estimate(registers: dict[int, int], m: int = HLL_M) -> float:
+    """Standard HLL estimator with the small-range (linear counting)
+    correction; absent buckets are empty registers."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s = sum(2.0 ** -registers.get(b, 0) for b in range(m))
+    est = alpha * m * m / s
+    zeros = sum(1 for b in range(m) if registers.get(b, 0) == 0)
+    if est <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return est

@@ -26,6 +26,7 @@ FAST_QUERIES = [
     "pagerank",
     "click_attribution_asof",
     "length_quantiles",
+    "vocab_hll_registers",
 ]
 
 

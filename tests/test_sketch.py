@@ -1,0 +1,77 @@
+"""HLL register sketch: the three properties that make it a sketch.
+
+1. Construction parity — the Spark relational construction equals a
+   trusted pure-Python mirror of the same md5/bucket/rho math (the
+   driver oracle additionally hashes it against DuckDB).
+2. Mergeability — element-wise max over any partitioning of the input
+   equals the whole-corpus sketch (the property that makes the state
+   shippable across shards/days at 100 TB).
+3. Estimate accuracy — the standard HLL bound (~1.04/sqrt(256) ≈ 6.5%
+   relative std error) holds at a cardinality far above the registers.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from biomedical_entity_linking_spark.operators import sketch as SK
+
+
+def _py_registers(tokens):
+    """Trusted mirror: same md5-60-bit construction in pure Python."""
+    reg = {}
+    for t in tokens:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        bucket = h % SK.HLL_M
+        suffix = h // SK.HLL_M
+        rho = SK._SUFFIX_BITS - suffix.bit_length() + 1
+        if rho > reg.get(bucket, 0):
+            reg[bucket] = rho
+    return reg
+
+
+def test_spark_construction_matches_python_mirror(spark, tmp_path):
+    toks = [f"tok{i}" for i in range(2000)] + ["tok0", "tok1"]  # dups absorbed
+    df = spark.createDataFrame(
+        [("web", " ".join(toks[:1200])), ("web", " ".join(toks[1200:])),
+         ("news", " ".join(toks[::3]))],
+        "source string, text string",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["source"], r["bucket"]): r["max_rho"]
+        for r in SK.vocab_hll_registers(spark, str(tmp_path)).collect()
+    }
+    want = {}
+    for src, sl in [("web", toks), ("news", toks[::3])]:
+        for b, rho in _py_registers(sl).items():
+            want[(src, b)] = rho
+    assert got == want
+
+
+def test_merge_of_any_partitioning_equals_whole():
+    toks = [f"w{i}" for i in range(30_000)]
+    whole = _py_registers(toks)
+    # three overlapping shards (overlap exercises idempotence)
+    parts = [toks[:12_000], toks[10_000:22_000], toks[20_000:]]
+    merged = SK.merge_registers(*[_py_registers(p) for p in parts])
+    assert merged == whole
+    # idempotent + commutative
+    assert SK.merge_registers(whole, whole) == whole
+    assert SK.merge_registers(*reversed([_py_registers(p) for p in parts])) == whole
+
+
+@pytest.mark.parametrize("n", [500, 50_000])
+def test_estimate_within_hll_error_bound(n):
+    reg = _py_registers([f"item-{i}" for i in range(n)])
+    est = SK.hll_estimate(reg)
+    # 1.04/sqrt(256) ≈ 6.5% std error; allow 4 sigma
+    assert abs(est - n) / n < 0.26
+
+
+def test_empty_and_tiny_registers():
+    assert SK.hll_estimate({}) == 0.0  # all-zero registers → linear count 0
+    reg = _py_registers(["only-one"])
+    est = SK.hll_estimate(reg)
+    assert 0 < est < 10  # linear-counting regime
