@@ -1,4 +1,5 @@
-"""HyperLogLog register construction — the mergeable-sketch primitive.
+"""Mergeable sketch relations: HyperLogLog (cardinality) + Count-Min
+(frequency) register tables built as pure relational algebra.
 
 Counting distinct anything (urls, tokens, users) exactly at 10^12 rows
 costs a full shuffle of the distinct keys; every serious pipeline
@@ -141,3 +142,120 @@ def hll_estimate(registers: dict[int, int], m: int = HLL_M) -> float:
     if est <= 2.5 * m and zeros:
         return m * math.log(m / zeros)
     return est
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch: the mergeable FREQUENCY sketch beside HLL's cardinality
+# ---------------------------------------------------------------------------
+#
+# "How often does token/url/entity X occur?" at 10^12 rows has the same
+# problem exact distinct-counting has: the key space (33.5M distinct
+# tokens at just 1M docs) is the thing that doesn't fit. CMS bounds the
+# state instead: d independent hash rows x w counters; every occurrence
+# increments one cell per row; a point estimate reads min over the d
+# cells — an OVERestimate with error <= 2N/w at confidence 1-2^-d
+# (Cormode & Muthukrishnan 2005). Cell-wise SUM merges shards/days —
+# the same associativity that makes HLL's max-merge shippable.
+#
+# Relationally the construction is: explode tokens -> 4 salted
+# md5-buckets per token (posexplode of a staged 4-array) -> ONE
+# map-side-combining groupBy(source, row, bucket).count() whose key
+# space is <= sources x d x w REGARDLESS of corpus size. All integer
+# arithmetic on md5 -> certified bit-exact against DuckDB.
+
+CMS_D = 4  # hash rows
+CMS_W = 1024  # counters per row
+
+
+def token_cms_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → per-source Count-Min register table.
+
+    Output: (source, row, bucket, cnt) — the sketch state itself, one
+    relation row per NON-ZERO cell (zero cells are implicit, exactly as
+    absent HLL registers are empty).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    cells = toks.select(
+        "source",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"{j}:"), F.col("token"))),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % CMS_W
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("row", "bucket"),
+    )
+    return (
+        cells.groupBy("source", "row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("source", "row", "bucket")
+    )
+
+
+_CMS_ROW_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT source, {j} AS row, "
+    f"('0x' || substr(md5('{j}:' || token), 1, 15))::BIGINT % {CMS_W} "
+    f"AS bucket FROM toks"
+    for j in range(CMS_D)
+)
+
+TOKEN_CMS_REGISTERS_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+cells AS (
+{_CMS_ROW_SELECTS}
+)
+SELECT source, row, bucket, count(*) AS cnt
+FROM cells
+GROUP BY source, row, bucket
+ORDER BY source, row, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# CMS read path (driver-side, O(d*w) state — registers, not data)
+# ---------------------------------------------------------------------------
+
+
+def _cms_buckets(token: str) -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{j}:{token}".encode()).hexdigest()[:15], 16) % CMS_W
+        for j in range(CMS_D)
+    ]
+
+
+def cms_merge(*sketches: dict[tuple[int, int], int]) -> dict[tuple[int, int], int]:
+    """Union-merge CMS states: cell-wise SUM. Associative + commutative,
+    so any partitioning of the input merges to the whole-corpus sketch
+    (pinned by pytest). Keys are (row, bucket)."""
+    out: dict[tuple[int, int], int] = {}
+    for sk in sketches:
+        for cell, c in sk.items():
+            out[cell] = out.get(cell, 0) + c
+    return out
+
+
+def cms_estimate(sketch: dict[tuple[int, int], int], token: str) -> int:
+    """Point frequency estimate: min over the d cells the token maps to.
+    Never underestimates; overestimate bounded by 2N/w w.p. 1-2^-d."""
+    return min(
+        sketch.get((j, b), 0) for j, b in enumerate(_cms_buckets(token))
+    )

@@ -27,6 +27,7 @@ FAST_QUERIES = [
     "click_attribution_asof",
     "length_quantiles",
     "vocab_hll_registers",
+    "token_cms_registers",
 ]
 
 

@@ -75,3 +75,69 @@ def test_empty_and_tiny_registers():
     reg = _py_registers(["only-one"])
     est = SK.hll_estimate(reg)
     assert 0 < est < 10  # linear-counting regime
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch
+# ---------------------------------------------------------------------------
+
+
+def _py_cms(tokens):
+    """Trusted mirror: same salted-md5 construction in pure Python."""
+    sk = {}
+    for t in tokens:
+        for j, b in enumerate(SK._cms_buckets(t)):
+            sk[(j, b)] = sk.get((j, b), 0) + 1
+    return sk
+
+
+def test_cms_spark_construction_matches_python_mirror(spark, tmp_path):
+    toks = [f"tok{i % 300}" for i in range(3000)]  # real frequencies
+    df = spark.createDataFrame(
+        [("web", " ".join(toks[:1700])), ("web", " ".join(toks[1700:]))],
+        "source string, text string",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in SK.token_cms_registers(spark, str(tmp_path)).collect()
+    }
+    assert got == _py_cms(toks)
+
+
+def test_cms_merge_of_any_partitioning_equals_whole():
+    toks = [f"w{i % 5000}" for i in range(40_000)]
+    whole = _py_cms(toks)
+    parts = [toks[:9_000], toks[9_000:25_000], toks[25_000:]]
+    assert SK.cms_merge(*[_py_cms(p) for p in parts]) == whole
+    assert (
+        SK.cms_merge(*reversed([_py_cms(p) for p in parts])) == whole
+    )  # commutative
+
+
+def test_cms_never_underestimates_and_bounds_heavy_hitters():
+    import collections
+
+    # Zipf-ish stream: token k appears ~30000/(k+1) times
+    stream = [f"z{k}" for k in range(200) for _ in range(30_000 // (k + 1))]
+    true = collections.Counter(stream)
+    sk = _py_cms(stream)
+    n = len(stream)
+    over_bound = 2 * n / SK.CMS_W  # CMS guarantee w.p. 1 - 2^-d
+    violations = 0
+    for tok, cnt in true.items():
+        est = SK.cms_estimate(sk, tok)
+        assert est >= cnt  # NEVER underestimates (structural)
+        if est - cnt > over_bound:
+            violations += 1
+    assert violations <= max(1, len(true) // 16)  # 1-2^-4 confidence
+    # the heavy head is near-exact: relative error < 5% on top 10
+    for k in range(10):
+        tok = f"z{k}"
+        assert SK.cms_estimate(sk, tok) - true[tok] < 0.05 * true[tok]
+
+
+def test_cms_absent_token_reads_small():
+    sk = _py_cms([f"x{i}" for i in range(1000)])
+    # an unseen token's estimate is bounded by collision mass, tiny here
+    assert SK.cms_estimate(sk, "never-seen-token") <= 10
