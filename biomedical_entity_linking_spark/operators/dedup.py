@@ -61,11 +61,24 @@ MAX_DF = 50  # drop shingles shared by more than MAX_DF docs (hot-shingle cap)
 
 
 def _shingle_relation(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle_md5) distinct, with document-frequency capping.
+    """(doc_id, shingle-key) distinct, with document-frequency capping.
 
     Built from Catalyst primitives only: tokens → sequence → transform →
     explode. The df-cap is a groupBy + join (logged drops happen via the
     relation's own counts — callers can diff).
+
+    The shingle key is the first 60 bits of the shingle's md5 AS A
+    BIGINT, converted at birth inside the lambda: every downstream
+    shuffle (the distinct, the df groupBy, the df-cap join, and the
+    inverted-index self-join) then moves 8-byte longs instead of
+    32-char hex strings — ~4× less shuffle payload on the relation
+    that dominates the near-dup family's runtime (measured: the edges
+    phase is 99% of neardup_clusters at 1M docs,
+    `tools/neardup_decomp_r5.log`). Cross-engine portable: DuckDB runs
+    the identical ``('0x' || substr(md5(..),1,15))::BIGINT``. 60-bit
+    keys over a crawl shard's ~10^8 shingles collide with probability
+    ~1e-2 per shard (birthday), merging two shingles — noise far below
+    the MinHash/df-cap approximation the family already carries.
 
     The split is staged as a column: the window lambda's body references
     the token array, and lambda bodies evaluate interpreted with no
@@ -74,7 +87,11 @@ def _shingle_relation(docs: DataFrame) -> DataFrame:
     toks = F.col("toks")
     shingles = F.transform(
         F.sequence(F.lit(1), F.size(toks) - F.lit(NGRAM_N - 1)),
-        lambda i: F.md5(F.array_join(F.slice(toks, i, NGRAM_N), " ")),
+        lambda i: F.conv(
+            F.substring(F.md5(F.array_join(F.slice(toks, i, NGRAM_N), " ")), 1, 15),
+            16,
+            10,
+        ).cast("long"),
     )
     sh = (
         docs.filter(F.length(F.trim(F.col("text"))) > 0)
@@ -99,7 +116,7 @@ tok AS (
 ),
 sh0 AS (
   SELECT DISTINCT doc_id,
-         md5(array_to_string(toks[i:i+{NGRAM_N - 1}], ' ')) AS sh
+         ('0x' || substr(md5(array_to_string(toks[i:i+{NGRAM_N - 1}], ' ')), 1, 15))::BIGINT AS sh
   FROM (SELECT doc_id, toks,
                unnest(generate_series(1, len(toks) - {NGRAM_N - 1})) AS i
         FROM tok)
@@ -194,7 +211,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sh = _shingle_relation(docs).withColumn(
-        "h", F.conv(F.substring("sh", 1, 15), 16, 10).cast("long") % _P31
+        "h", F.col("sh") % _P31  # sh is already the 60-bit md5 bigint
     )
     # ONE groupBy over the shingle relation with NUM_PERM min-agg
     # expressions — no perms crossJoin (a 16x row/shuffle amplification at
@@ -264,8 +281,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 MINHASH_LSH_SQL = f"""
 WITH {_SHINGLES_CTE},
 shh AS (
-  SELECT doc_id,
-         CAST(('0x' || substr(sh, 1, 15)) AS BIGINT) % {_P31} AS h
+  SELECT doc_id, sh % {_P31} AS h
   FROM sh
 ),
 sig AS (

@@ -52,7 +52,9 @@ _IDF_SCALE = 1000  # milli-idf fixed point
 _IDF_CAP = 100_000  # saturate at 100x rarity: bounds w² ≤ (tf·1e5)²
 
 
-def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tfidf_cosine_topk(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+) -> DataFrame:
     """documents → char-3gram tf-idf(quantized) cosine top-5 per query.
 
     - titles: first 5 whitespace tokens of ``text``;
@@ -61,6 +63,14 @@ def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     - weights: ``w = tf · idf_q`` (integer, see module docstring);
     - cosine: inverted-index join on gram, integer dot / (√·√);
     - top-5 per query by (cos desc, cand_id asc), self excluded.
+
+    ``df_cap`` is the documented production lever (module docstring):
+    grams with ``df > df_cap`` are dropped from the INDEX join — norms
+    keep them, so a scored pair loses only the capped grams'
+    near-zero-idf dot-product contribution, and pairs sharing ONLY
+    capped grams are not enumerated. None (the driver/oracle default)
+    = exact, uncapped. ``tests/test_tfidf_cap.py`` pins cap ≥ max df ≡
+    uncapped and the subset property of tighter caps.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     titles = docs.select(
@@ -112,15 +122,21 @@ def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).alias("norm2")
     )
+    # index side: optionally df-capped (norms above are NOT capped —
+    # the cap prunes candidate enumeration only, never scored cosines)
+    wi = w
+    if df_cap is not None:
+        keep = df_rel.filter(F.col("df") <= df_cap).select("gram")
+        wi = w.join(keep, "gram")
     q = (
-        w.filter(F.col("doc_id") % _QUERY_MOD == 0)
+        wi.filter(F.col("doc_id") % _QUERY_MOD == 0)
         .select(
             F.col("doc_id").alias("query_id"),
             "gram",
             F.col("w").alias("wq"),
         )
     )
-    c = w.select(
+    c = wi.select(
         F.col("doc_id").alias("cand_id"), "gram", F.col("w").alias("wc")
     )
     num = (

@@ -49,10 +49,44 @@ spark = get_spark(app_name=f"neardupscale{cpus}", cores=cpus,
 docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 n = docs.count()  # warm scan
 out = {"cpus": cpus, "docs": n, "op": which}
-fn = neardup_clusters if which == "neardup_clusters" else url_dedup
-t0 = time.time()
-out[which + "_rows"] = fn(spark, sf_dir).count()
-out[which + "_sec"] = round(time.time() - t0, 2)
+if which == "neardup_decomp":
+    # phase decomposition: LSH candidate edges (shingle explode +
+    # 16 min-aggs + banded self-join) vs iterative CC + readoff —
+    # attributes the composite op's efficiency loss to a phase
+    from biomedical_entity_linking_spark.operators.dedup import (
+        minhash_lsh_candidates, NEARDUP_CC_THRESH,
+    )
+    from biomedical_entity_linking_spark.operators.connected_components \
+        import connected_components
+    epath = f"/tmp/spark_linkage_scaling/decomp_edges_{cpus}"
+    t0 = time.time()
+    minhash_lsh_candidates(spark, sf_dir).filter(
+        F.col("est_jaccard") >= NEARDUP_CC_THRESH
+    ).write.mode("overwrite").parquet(epath)
+    out["edges_sec"] = round(time.time() - t0, 2)
+    edges = spark.read.parquet(epath)
+    out["edges_rows"] = edges.count()
+    t0 = time.time()
+    labels, _ = connected_components(edges, src="doc_a", dst="doc_b")
+    lab = labels.select(F.col("url").alias("doc_id"),
+                        F.col("component").alias("cluster"))
+    sizes = lab.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    out["cc_rows"] = (
+        lab.join(sizes, "cluster").filter(F.col("cluster_size") >= 2).count()
+    )
+    out["cc_sec"] = round(time.time() - t0, 2)
+    out[which + "_sec"] = out["edges_sec"] + out["cc_sec"]
+    out[which + "_rows"] = out["cc_rows"]
+else:
+    if which == "tfidf_cosine_topk":
+        from biomedical_entity_linking_spark.operators.tfidf import (
+            tfidf_cosine_topk as fn,
+        )
+    else:
+        fn = neardup_clusters if which == "neardup_clusters" else url_dedup
+    t0 = time.time()
+    out[which + "_rows"] = fn(spark, sf_dir).count()
+    out[which + "_sec"] = round(time.time() - t0, 2)
 print(json.dumps(out))
 """
 
@@ -179,6 +213,14 @@ def main() -> None:
             "rows": best[lo][op + "_rows"],
             "efficiency": round(eff, 3),
         }
+        for phase in ("edges", "cc"):  # per-phase, decomp mode only
+            key = phase + "_sec"
+            if key in best[lo]:
+                result[op][f"{phase}_sec_{lo}"] = best[lo][key]
+                result[op][f"{phase}_sec_{hi}"] = best[hi][key]
+                result[op][f"{phase}_efficiency"] = round(
+                    (best[lo][key] / best[hi][key]) / (hi / lo), 3
+                )
         assert best[lo][op + "_rows"] == best[hi][op + "_rows"], op
     print(json.dumps(result))
 
