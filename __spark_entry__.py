@@ -479,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": TA.length_quantiles,
         "vocab_hll_registers": SK.vocab_hll_registers,
         "token_cms_registers": SK.token_cms_registers,
+        "benchmark_bloom_bits": SK.benchmark_bloom_bits,
         "url_dedup": WU.url_dedup,
         "host_stats": WU.host_stats,
         # near-dup cluster formation (LSH edges → connected components)
@@ -543,6 +544,7 @@ def oracle_sql() -> dict[str, str]:
         "length_quantiles": TA.LENGTH_QUANTILES_SQL,
         "vocab_hll_registers": SK.VOCAB_HLL_REGISTERS_SQL,
         "token_cms_registers": SK.TOKEN_CMS_REGISTERS_SQL,
+        "benchmark_bloom_bits": SK.BENCHMARK_BLOOM_BITS_SQL,
         "url_dedup": WU.URL_DEDUP_SQL,
         "host_stats": WU.HOST_STATS_SQL,
         "neardup_clusters": D.NEARDUP_CLUSTERS_SQL,

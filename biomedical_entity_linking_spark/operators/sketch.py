@@ -1,5 +1,5 @@
-"""Mergeable sketch relations: HyperLogLog (cardinality) + Count-Min
-(frequency) register tables built as pure relational algebra.
+"""Mergeable sketch relations: HyperLogLog (cardinality), Count-Min
+(frequency) and Bloom (membership) state tables as relational algebra.
 
 Counting distinct anything (urls, tokens, users) exactly at 10^12 rows
 costs a full shuffle of the distinct keys; every serious pipeline
@@ -259,3 +259,118 @@ def cms_estimate(sketch: dict[tuple[int, int], int], token: str) -> int:
     return min(
         sketch.get((j, b), 0) for j, b in enumerate(_cms_buckets(token))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: the mergeable MEMBERSHIP sketch completing the family
+# ---------------------------------------------------------------------------
+#
+# HLL answers "how many distinct", CMS answers "how often", Bloom
+# answers "have we seen X" — the three queries a 10^12-row pipeline
+# keeps asking where the exact key set is the thing that doesn't fit.
+# The canonical deployment here is decontamination at fleet scale:
+# TODAY ``contamination_hits`` broadcasts the exact benchmark gram set
+# (right at benchmark sizes); when the blocklist itself is huge (every
+# gram of every eval suite, multi-GB), the broadcast side becomes a
+# Bloom BIT TABLE — m bits regardless of member count, set-union
+# mergeable (bit OR == relational DISTINCT union of set positions), no
+# false negatives ever, false positives ~ (1-e^{-kn/m})^k retested
+# exactly downstream.
+#
+# The relation is the SET-BIT table (source, bit): k salted-md5 probes
+# per member -> posexplode -> DISTINCT. Key space <= sources x m by
+# construction; every step integer md5 arithmetic -> certified
+# bit-exact against DuckDB.
+
+BLOOM_M = 4096  # bits
+BLOOM_K = 3  # probes per member
+
+
+def benchmark_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → set-bit table of a Bloom filter over the BENCHMARK
+    split's token vocabulary, per source (the decontamination
+    blocklist-sketch deployment: doc_id % 10 == 0 plays the eval suite,
+    matching ``dedup.decontamination``'s split).
+
+    Output: (source, bit) — the sketch state, one row per SET bit.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    toks = bench.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    bits = toks.select(
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"b{j}:"), F.col("token"))),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % BLOOM_M
+                    )
+                    for j in range(BLOOM_K)
+                ]
+            )
+        ).alias("bit"),
+    )
+    return bits.distinct().orderBy("source", "bit")
+
+
+_BLOOM_PROBE_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT source, "
+    f"('0x' || substr(md5('b{j}:' || token), 1, 15))::BIGINT % {BLOOM_M} "
+    f"AS bit FROM toks"
+    for j in range(BLOOM_K)
+)
+
+BENCHMARK_BLOOM_BITS_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE doc_id % 10 = 0
+),
+bits AS (
+{_BLOOM_PROBE_SELECTS}
+)
+SELECT DISTINCT source, bit
+FROM bits
+ORDER BY source, bit
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom read path (driver-side, O(m) state)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_bits(token: str) -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"b{j}:{token}".encode()).hexdigest()[:15], 16)
+        % BLOOM_M
+        for j in range(BLOOM_K)
+    ]
+
+
+def bloom_merge(*filters: set[int]) -> set[int]:
+    """Union-merge Bloom states: bit OR (= set union). Associative,
+    commutative, idempotent — any shard partitioning merges to the
+    whole-corpus filter (pinned by pytest)."""
+    out: set[int] = set()
+    for f in filters:
+        out |= f
+    return out
+
+
+def bloom_contains(bits: set[int], token: str) -> bool:
+    """Membership probe: True iff every probe bit is set. No false
+    negatives (structural); false-positive rate ~ (1-e^{-kn/m})^k."""
+    return all(b in bits for b in _bloom_bits(token))

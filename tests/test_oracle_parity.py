@@ -28,6 +28,7 @@ FAST_QUERIES = [
     "length_quantiles",
     "vocab_hll_registers",
     "token_cms_registers",
+    "benchmark_bloom_bits",
 ]
 
 

@@ -141,3 +141,52 @@ def test_cms_absent_token_reads_small():
     sk = _py_cms([f"x{i}" for i in range(1000)])
     # an unseen token's estimate is bounded by collision mass, tiny here
     assert SK.cms_estimate(sk, "never-seen-token") <= 10
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def _py_bloom(tokens):
+    bits = set()
+    for t in tokens:
+        bits.update(SK._bloom_bits(t))
+    return bits
+
+
+def test_bloom_spark_construction_matches_python_mirror(spark, tmp_path):
+    bench_toks = [f"ev{i}" for i in range(500)]
+    corpus_toks = [f"tr{i}" for i in range(500)]
+    df = spark.createDataFrame(
+        [(10, "web", " ".join(bench_toks)),   # doc_id % 10 == 0: benchmark
+         (11, "web", " ".join(corpus_toks))],  # corpus: excluded
+        "doc_id long, source string, text string",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["source"], r["bit"])
+        for r in SK.benchmark_bloom_bits(spark, str(tmp_path)).collect()
+    }
+    assert got == {("web", b) for b in _py_bloom(bench_toks)}
+
+
+def test_bloom_no_false_negatives_and_fp_rate():
+    import math
+
+    members = [f"m{i}" for i in range(800)]
+    bits = _py_bloom(members)
+    for m in members:
+        assert SK.bloom_contains(bits, m)  # structural: no false negatives
+    probes = [f"q{i}" for i in range(20_000)]
+    fp = sum(1 for p in probes if SK.bloom_contains(bits, p))
+    expected = (1 - math.exp(-SK.BLOOM_K * len(members) / SK.BLOOM_M)) ** SK.BLOOM_K
+    assert fp / len(probes) < 3 * expected + 0.01
+
+
+def test_bloom_merge_of_any_partitioning_equals_whole():
+    toks = [f"t{i}" for i in range(3000)]
+    whole = _py_bloom(toks)
+    parts = [toks[:1000], toks[800:2200], toks[2000:]]
+    assert SK.bloom_merge(*[_py_bloom(p) for p in parts]) == whole
+    assert SK.bloom_merge(whole, set()) == whole  # empty identity
