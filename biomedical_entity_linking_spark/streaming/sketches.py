@@ -94,3 +94,72 @@ def maintain_hll_registers(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def cms_register_stream(
+    pages_stream: DataFrame, key_col: str = "lang"
+) -> DataFrame:
+    """Streaming Count-Min register maintenance: same salted-md5 bucket
+    construction as the batch ``token_cms_registers``; count() is the
+    streaming aggregate (sum-mergeable across micro-batches by the state
+    store). State ≤ keys × d × w rows at any stream length."""
+    from ..operators.sketch import CMS_D, CMS_W
+
+    toks = pages_stream.select(
+        F.col(key_col).alias("source"),
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    )
+    cells = toks.select(
+        "source",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(F.lit(f"{j}:"), F.col("token"))
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % CMS_W
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("row", "bucket"),
+    )
+    return cells.groupBy("source", "row", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def maintain_cms_registers(
+    pages_stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "lang",
+    available_now: bool = True,
+):
+    """Run the CMS register stream into a parquet register table
+    (complete-mode + idempotent ``foreachBatch`` overwrite, exactly as
+    ``maintain_hll_registers``)."""
+    regs = cms_register_stream(pages_stream, key_col=key_col)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.orderBy("source", "row", "bucket").write.mode(
+            "overwrite"
+        ).parquet(table_dir)
+
+    writer = (
+        regs.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -86,3 +86,59 @@ def test_stream_registers_equal_batch_and_resume(spark, tmp_path):
         {b: r for (s, b), r in got2.items() if s == "en"}
     )
     assert en2 > en1
+
+
+def test_cms_stream_registers_equal_batch_and_resume(spark, tmp_path):
+    from biomedical_entity_linking_spark.streaming.sketches import (
+        maintain_cms_registers,
+    )
+
+    drop_dir = str(tmp_path / "cms_drops")
+    table_dir = str(tmp_path / "cms_registers")
+    ckpt = str(tmp_path / "cms_ckpt")
+    os.makedirs(drop_dir)
+
+    rows1 = [
+        (f"http://a/{i}",
+         " ".join(f"en{j % 50}" for j in range(i, i + 60)), "en")
+        for i in range(0, 300, 60)
+    ]
+    _drop(spark, drop_dir, rows1, "drop1.parquet")
+    q = maintain_cms_registers(
+        stream_pages(spark, drop_dir + "/*"), table_dir, ckpt
+    )
+    q.awaitTermination()
+
+    def batch_cms(docs_dir):
+        return {
+            (r["source"], r["row"], r["bucket"]): r["cnt"]
+            for r in SK.token_cms_registers(spark, docs_dir).collect()
+        }
+
+    got = {
+        (r["source"], r["row"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(table_dir).collect()
+    }
+    batch_docs = str(tmp_path / "cms_batch1")
+    spark.read.parquet(drop_dir + "/*").select(
+        F.col("lang").alias("source"), "text"
+    ).write.parquet(batch_docs + "/documents.parquet")
+    assert got == batch_cms(batch_docs)
+
+    # resume: counts must ACCUMULATE across drops (sum, not overwrite)
+    rows2 = [("http://c/1", " ".join(f"en{j % 50}" for j in range(80)), "en")]
+    _drop(spark, drop_dir, rows2, "drop2.parquet")
+    q2 = maintain_cms_registers(
+        stream_pages(spark, drop_dir + "/*"), table_dir, ckpt
+    )
+    q2.awaitTermination()
+    got2 = {
+        (r["source"], r["row"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(table_dir).collect()
+    }
+    batch_docs2 = str(tmp_path / "cms_batch2")
+    spark.read.parquet(drop_dir + "/*").select(
+        F.col("lang").alias("source"), "text"
+    ).write.parquet(batch_docs2 + "/documents.parquet")
+    assert got2 == batch_cms(batch_docs2)
+    assert sum(got2.values()) > sum(got.values())
