@@ -80,8 +80,10 @@ if which == "neardup_decomp":
 else:
     if which == "tfidf_cosine_topk":
         from biomedical_entity_linking_spark.operators.tfidf import (
-            tfidf_cosine_topk as fn,
+            tfidf_cosine_topk,
         )
+        cap = int(os.environ.get("TFIDF_DF_CAP", "0")) or None
+        fn = lambda sp, sd: tfidf_cosine_topk(sp, sd, df_cap=cap)
     else:
         fn = neardup_clusters if which == "neardup_clusters" else url_dedup
     t0 = time.time()
