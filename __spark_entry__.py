@@ -480,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_hll_registers": SK.vocab_hll_registers,
         "token_cms_registers": SK.token_cms_registers,
         "benchmark_bloom_bits": SK.benchmark_bloom_bits,
+        "length_histogram": SK.length_histogram,
         "url_dedup": WU.url_dedup,
         "host_stats": WU.host_stats,
         # near-dup cluster formation (LSH edges → connected components)
@@ -545,6 +546,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_hll_registers": SK.VOCAB_HLL_REGISTERS_SQL,
         "token_cms_registers": SK.TOKEN_CMS_REGISTERS_SQL,
         "benchmark_bloom_bits": SK.BENCHMARK_BLOOM_BITS_SQL,
+        "length_histogram": SK.LENGTH_HISTOGRAM_SQL,
         "url_dedup": WU.URL_DEDUP_SQL,
         "host_stats": WU.HOST_STATS_SQL,
         "neardup_clusters": D.NEARDUP_CLUSTERS_SQL,

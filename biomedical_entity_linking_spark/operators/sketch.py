@@ -374,3 +374,112 @@ def bloom_contains(bits: set[int], token: str) -> bool:
     """Membership probe: True iff every probe bit is set. No false
     negatives (structural); false-positive rate ~ (1-e^{-kn/m})^k."""
     return all(b in bits for b in _bloom_bits(token))
+
+
+# ---------------------------------------------------------------------------
+# Log-binned histogram: the mergeable QUANTILE sketch closing the family
+# ---------------------------------------------------------------------------
+#
+# ``text_analysis.length_quantiles`` computes EXACT per-source order
+# statistics — irreducibly a per-group global pass. The 10^12-row
+# default is a mergeable summary; t-digest is the usual choice but its
+# centroids are float state (unhashable across engines, merge-order
+# dependent). A LOG-BINNED HISTOGRAM has the same read API (quantiles
+# within a guaranteed relative error) with INTEGER state: bin =
+# floor(log_{1+eps}(x)) computed by an integer CASE ladder over
+# precomputed bin edges (no libm), counts merge by SUM, and any
+# quantile reads off the cumulative distribution with relative error
+# <= eps by construction. Bin count for eps=0.1, values 1..10^9:
+# log(10^9)/log(1.1) ~ 218 — bounded state at any input size.
+
+HIST_EPS_NUM = 11  # bin growth factor 11/10 = 1 + eps, eps = 0.1
+HIST_EPS_DEN = 10
+HIST_MAX_VALUE = 10**9
+
+
+def _hist_edges() -> list[int]:
+    """Integer bin edges 1 = e_0 < e_1 < ... growing by ~(1+eps):
+    e_{i+1} = max(e_i + 1, e_i * 11 div 10) — exact integer arithmetic,
+    identical in any engine (precomputed here, inlined as literals)."""
+    edges = [1]
+    while edges[-1] < HIST_MAX_VALUE:
+        e = edges[-1]
+        edges.append(max(e + 1, (e * HIST_EPS_NUM) // HIST_EPS_DEN))
+    return edges
+
+
+HIST_EDGES = _hist_edges()
+
+# integer CASE ladder: value -> bin index (descending tests, no libm)
+_HIST_BIN_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN v >= {e} THEN {i}"
+        for i, e in reversed(list(enumerate(HIST_EDGES)))
+    )
+    + " ELSE -1 END"
+)
+
+
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → per-source log-binned histogram of n_chars.
+
+    Output: (source, bin, cnt) — the sketch state; bin -1 collects
+    values < 1 (empty docs). One map-side-combining shuffle whose key
+    space is ≤ sources × ~220 bins at any corpus size.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    binned = docs.select(
+        "source", F.col("n_chars").alias("v")
+    ).select("source", F.expr(_HIST_BIN_CASE).alias("bin"))
+    return (
+        binned.groupBy("source", "bin")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("source", "bin")
+    )
+
+
+LENGTH_HISTOGRAM_SQL = f"""
+WITH binned AS (
+  SELECT source, {_HIST_BIN_CASE} AS bin
+  FROM (SELECT source, n_chars AS v FROM documents)
+)
+SELECT source, bin, count(*) AS cnt
+FROM binned
+GROUP BY source, bin
+ORDER BY source, bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# histogram read path (driver-side, O(bins) state)
+# ---------------------------------------------------------------------------
+
+
+def hist_merge(*hists: dict[int, int]) -> dict[int, int]:
+    """Union-merge histogram states: bin-wise SUM (associative +
+    commutative — any shard partitioning merges to the whole)."""
+    out: dict[int, int] = {}
+    for h in hists:
+        for b, c in h.items():
+            out[b] = out.get(b, 0) + c
+    return out
+
+
+def hist_quantile(hist: dict[int, int], q_num: int, q_den: int) -> int:
+    """Discrete quantile estimate: the LOWER EDGE of the bin where the
+    cumulative count first reaches ceil(q·n) — matching
+    ``length_quantiles``'s discrete-percentile definition at bin
+    resolution, so the estimate is within one bin (relative error
+    ≤ eps = 0.1) of the exact order statistic (pinned by pytest
+    against the exact operator)."""
+    n = sum(hist.values())
+    if n == 0:
+        raise ValueError("empty histogram")
+    target = (q_num * n + q_den - 1) // q_den
+    cum = 0
+    for b in sorted(hist):
+        cum += hist[b]
+        if cum >= target:
+            return HIST_EDGES[b] if b >= 0 else 0
+    return HIST_EDGES[max(hist)]

@@ -29,6 +29,7 @@ FAST_QUERIES = [
     "vocab_hll_registers",
     "token_cms_registers",
     "benchmark_bloom_bits",
+    "length_histogram",
 ]
 
 

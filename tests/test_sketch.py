@@ -190,3 +190,62 @@ def test_bloom_merge_of_any_partitioning_equals_whole():
     parts = [toks[:1000], toks[800:2200], toks[2000:]]
     assert SK.bloom_merge(*[_py_bloom(p) for p in parts]) == whole
     assert SK.bloom_merge(whole, set()) == whole  # empty identity
+
+
+# ---------------------------------------------------------------------------
+# Log-binned histogram (quantile sketch)
+# ---------------------------------------------------------------------------
+
+
+def _py_hist(values):
+    import bisect
+
+    h = {}
+    for v in values:
+        b = bisect.bisect_right(SK.HIST_EDGES, v) - 1  # -1 when v < 1
+        h[b] = h.get(b, 0) + 1
+    return h
+
+
+def test_hist_edges_grow_by_at_most_eps():
+    for a, b in zip(SK.HIST_EDGES, SK.HIST_EDGES[1:]):
+        assert b <= max(a + 1, (a * SK.HIST_EPS_NUM) // SK.HIST_EPS_DEN)
+        assert b > a
+
+
+def test_hist_merge_equals_whole():
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.randrange(1, 10**6) for _ in range(20_000)]
+    whole = _py_hist(vals)
+    parts = [vals[:5000], vals[5000:12_000], vals[12_000:]]
+    assert SK.hist_merge(*[_py_hist(p) for p in parts]) == whole
+
+
+def test_hist_quantile_within_one_bin_of_exact():
+    import random
+
+    rng = random.Random(13)
+    vals = sorted(rng.randrange(1, 10**6) for _ in range(50_000))
+    h = _py_hist(vals)
+    n = len(vals)
+    for q_num, q_den in [(1, 2), (9, 10), (99, 100)]:
+        exact = vals[(q_num * n + q_den - 1) // q_den - 1]  # discrete pctl
+        est = SK.hist_quantile(h, q_num, q_den)
+        # estimate = lower edge of the exact value's bin: within eps
+        assert est <= exact
+        assert exact < max(est + 1, (est * SK.HIST_EPS_NUM) // SK.HIST_EPS_DEN)
+
+
+def test_hist_spark_construction_matches_python_mirror(spark, tmp_path):
+    vals = [1, 5, 17, 100, 1000, 12345, 999_999, 3, 3, 3]
+    df = spark.createDataFrame(
+        [("web", v) for v in vals], "source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["bin"]: r["cnt"]
+        for r in SK.length_histogram(spark, str(tmp_path)).collect()
+    }
+    assert got == _py_hist(vals)
