@@ -31,6 +31,7 @@ from biomedical_entity_linking_spark.operators import sketch as SK
 from biomedical_entity_linking_spark.operators import string_scores as SS
 from biomedical_entity_linking_spark.operators import tfidf as TI
 from biomedical_entity_linking_spark.operators import asof as AO
+from biomedical_entity_linking_spark.operators import er_quality as EQ
 from biomedical_entity_linking_spark.operators import linkgraph as LG
 from biomedical_entity_linking_spark.operators import weburl as WU
 
@@ -475,6 +476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_scores": SS.pair_scores,
         "tfidf_cosine_topk": TI.tfidf_cosine_topk,
         "pagerank": LG.pagerank,
+        "triangle_count": LG.triangle_count,
+        "blocking_quality": EQ.blocking_quality,
         "click_attribution_asof": AO.click_attribution_asof,
         "length_quantiles": TA.length_quantiles,
         "vocab_hll_registers": SK.vocab_hll_registers,
@@ -541,6 +544,8 @@ def oracle_sql() -> dict[str, str]:
         "pair_scores": SS.PAIR_SCORES_SQL,
         "tfidf_cosine_topk": TI.TFIDF_COSINE_TOPK_SQL,
         "pagerank": LG.PAGERANK_SQL,
+        "triangle_count": LG.TRIANGLE_COUNT_SQL,
+        "blocking_quality": EQ.BLOCKING_QUALITY_SQL,
         "click_attribution_asof": AO.CLICK_ATTRIBUTION_ASOF_SQL,
         "length_quantiles": TA.LENGTH_QUANTILES_SQL,
         "vocab_hll_registers": SK.VOCAB_HLL_REGISTERS_SQL,

@@ -1,0 +1,143 @@
+"""Blocking-quality metrics: reduction ratio / pairs completeness /
+pairs quality — the ER literature's standard triple for judging a
+blocking scheme BEFORE paying for pairwise scoring.
+
+The reference tunes its candidate generator by measured recall@k over
+gold labels (``bioel/bioel/models/*/evaluate.py`` recall tables;
+candidate counts in ``candidate_generation.py``); this module is the
+blocking-stage analog a 100 TB ER deployment runs first: given a
+blocking key, how many of the O(n²) pairs survive (reduction ratio),
+what fraction of true same-entity pairs the blocks retain (pairs
+completeness = blocking recall), and how dense the survivors are in
+true pairs (pairs quality = blocking precision).
+
+The construction NEVER materializes pairs. Each metric is a sum of
+``c·(c−1)/2`` over group counts:
+
+* candidate pairs   = Σ_blocks  c·(c−1)/2
+* gold pairs        = Σ_labels  c·(c−1)/2
+* true candidates   = Σ_(block,label) c·(c−1)/2   (pairs sharing both)
+
+so the whole relation is THREE map-side-combinable count aggregations
+and a cross-joined single-row summary — at 10^12 rows the shuffle
+carries one row per (block[,label]) per upstream partition and the
+driver sees one row. This is why the combinatorial identity matters at
+scale: the naive implementation (self-join per block, then compare) is
+exactly the quadratic explosion blocking exists to avoid.
+
+Blocking keys: the engine's certified sign-bit coarse quantizer
+(``similarity._cell8_expr`` / ``_CELL8_SQL`` — 8 sign bits of the
+embedding, the same cells the IVF path shards on) at THREE widths
+(8/6/4 bits, coarser = right-shift), one output row per scheme — the
+tuning table a deployment reads to pick its operating point on the
+reduction-vs-completeness tradeoff before committing a 100 TB scoring
+run. Cross-engine float-free comparison (``> 0`` sign tests, integer
+everything after) keeps the value-hash bit-exact.
+
+Ratios are reported in integer parts-per-million (``· 10^6 div
+denominator``) — exact integer division in both engines, no float
+summation anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity import _CELL8_SQL, _cell8_expr
+
+_PPM = 1_000_000
+_SCHEME_BITS = (8, 6, 4)
+
+
+def _pair_sum(df: DataFrame, keys: list[str], out: str) -> DataFrame:
+    """Σ over groups of c·(c−1)/2 as a single-row relation."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("c * (c - 1) div 2")), F.lit(0)
+            ).alias(out)
+        )
+    )
+
+
+def blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings → one row PER BLOCKING SCHEME of counts + ppm ratios.
+
+    Columns: scheme_bits, n_items, total_pairs, cand_pairs, gold_pairs,
+    true_cand_pairs, reduction_ratio_ppm, completeness_ppm, quality_ppm.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        "label",
+        _cell8_expr(F.col("embedding")).alias("cell8"),
+    )
+    # gold pairs are scheme-independent; compute once
+    n = emb.agg(F.count("*").alias("n_items"))
+    gold = _pair_sum(emb, ["label"], "gold_pairs")
+    rows = None
+    for bits in _SCHEME_BITS:
+        cells = emb.select(
+            "label", F.shiftright("cell8", 8 - bits).alias("cell")
+        )
+        cand = _pair_sum(cells, ["cell"], "cand_pairs")
+        true_cand = _pair_sum(cells, ["cell", "label"], "true_cand_pairs")
+        row = (
+            n.join(gold)
+            .join(cand)
+            .join(true_cand)
+            .select(F.lit(bits).cast("int").alias("scheme_bits"), "*")
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.select(
+        "scheme_bits",
+        "n_items",
+        F.expr("n_items * (n_items - 1) div 2").alias("total_pairs"),
+        "cand_pairs",
+        "gold_pairs",
+        "true_cand_pairs",
+        F.expr(
+            f"(n_items * (n_items - 1) div 2 - cand_pairs) * {_PPM}"
+            " div (n_items * (n_items - 1) div 2)"
+        ).alias("reduction_ratio_ppm"),
+        F.expr(
+            f"true_cand_pairs * {_PPM} div gold_pairs"
+        ).alias("completeness_ppm"),
+        F.expr(
+            f"true_cand_pairs * {_PPM} div cand_pairs"
+        ).alias("quality_ppm"),
+    ).orderBy(F.col("scheme_bits").desc())
+
+
+def _scheme_sql(bits: int) -> str:
+    return f"""
+SELECT {bits} AS scheme_bits,
+       n_items,
+       n_items * (n_items - 1) // 2 AS total_pairs,
+       cand_pairs, gold_pairs, true_cand_pairs,
+       (n_items * (n_items - 1) // 2 - cand_pairs) * {_PPM}
+         // (n_items * (n_items - 1) // 2) AS reduction_ratio_ppm,
+       true_cand_pairs * {_PPM} // gold_pairs AS completeness_ppm,
+       true_cand_pairs * {_PPM} // cand_pairs AS quality_ppm
+FROM n, gold,
+  (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS cand_pairs FROM
+   (SELECT CAST(count(*) AS BIGINT) AS c FROM e
+    GROUP BY cell8 // {1 << (8 - bits)})),
+  (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS true_cand_pairs FROM
+   (SELECT CAST(count(*) AS BIGINT) AS c FROM e
+    GROUP BY cell8 // {1 << (8 - bits)}, label))
+"""
+
+
+BLOCKING_QUALITY_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, ({_CELL8_SQL}) AS cell8 FROM embeddings
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM e),
+gold AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS gold_pairs FROM
+         (SELECT CAST(count(*) AS BIGINT) AS c FROM e GROUP BY label))
+{" UNION ALL ".join(_scheme_sql(b) for b in _SCHEME_BITS)}
+ORDER BY scheme_bits DESC
+"""

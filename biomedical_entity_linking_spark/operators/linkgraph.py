@@ -169,3 +169,138 @@ ORDER BY rank_q DESC, doc_id ASC
 
 
 PAGERANK_SQL = _pagerank_sql()
+
+
+# --------------------------------------------------------------------------
+# Triangle counting — degree-ordered edge orientation
+# --------------------------------------------------------------------------
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    """Directed link relation → distinct undirected (u < v) edge set."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, tri_cnt): per-node triangle participation.
+
+    Triangle counting over the same synthesized link relation PageRank
+    iterates (``_LINK_EXPRS``): clique-ish neighborhoods in a link graph
+    are a dup-farm / mirror-network signal a crawl pipeline scores
+    alongside centrality. The naive triangle join is cubic in hub
+    degree, so this uses the standard at-scale construction —
+    **degree-ordered orientation**: orient every undirected edge from
+    the endpoint with the smaller ``(degree, id)`` total-order key to
+    the larger, then count wedges only at each edge's LOW endpoint and
+    close them with one equi-join. Every out-neighborhood is then
+    O(√m)-bounded regardless of hub in-degree (a node with out-degree d
+    in the oriented graph has d neighbors of degree ≥ its own, so
+    d ≤ √(2m)) — the planted ~N/97-in-degree hubs become wedge TARGETS,
+    never wedge sources, and the quadratic wedge stage never explodes.
+
+    Cross-engine exactness: the total-order key is the INTEGER
+    ``degree · n_docs + node_id`` (collision-free since id < n_docs),
+    and every downstream step is integer comparison / count — no floats
+    anywhere, so the value-hash is bit-exact vs the oracle.
+
+    Scale shape (100 TB): degree agg = one map-side-combinable count
+    shuffle; orientation = two id-keyed joins; the wedge self-join
+    shuffles on the low endpoint whose group width is the √(2m) bound
+    above; the closing join is an equi-join on the (b, c) pair key.
+    Nothing is quadratic in the hot key, and no stage holds more than
+    one edge's constant payload per row.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_rel = docs.agg(F.count("*").alias("n_docs"))
+    und = _undirected(_edges(docs)).localCheckpoint(eager=True)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    keyed = deg.join(F.broadcast(n_rel)).select(
+        "node", (F.col("deg") * F.col("n_docs") + F.col("node")).alias("k")
+    )
+    ku = keyed.select(F.col("node").alias("u"), F.col("k").alias("ku"))
+    kv = keyed.select(F.col("node").alias("v"), F.col("k").alias("kv"))
+    oriented = (
+        und.join(ku, "u")
+        .join(kv, "v")
+        .select(
+            F.when(F.col("ku") < F.col("kv"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("a"),
+            F.when(F.col("ku") < F.col("kv"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("b"),
+            F.greatest("ku", "kv").alias("kb"),
+        )
+    ).localCheckpoint(eager=True)
+    e1 = oriented.select(
+        F.col("a"), F.col("b").alias("w1"), F.col("kb").alias("k1")
+    )
+    e2 = oriented.select(
+        F.col("a"), F.col("b").alias("w2"), F.col("kb").alias("k2")
+    )
+    wedges = e1.join(e2, "a").filter(F.col("k1") < F.col("k2"))
+    closing = oriented.select(
+        F.col("a").alias("w1"), F.col("b").alias("w2")
+    )
+    tris = wedges.join(closing, ["w1", "w2"]).select(
+        F.col("a").alias("n1"), F.col("w1").alias("n2"), F.col("w2").alias("n3")
+    )
+    per_node = (
+        tris.select(
+            F.explode(F.array("n1", "n2", "n3")).alias("doc_id")
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("tri_cnt"))
+    )
+    return per_node.orderBy(F.col("tri_cnt").desc(), F.col("doc_id").asc())
+
+
+def _triangle_count_sql() -> str:
+    links = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {expr} AS dst FROM t, n_rel"
+        for expr in _LINK_EXPRS
+    )
+    return f"""
+WITH t AS (SELECT doc_id FROM documents),
+n_rel AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM t),
+edges AS (SELECT src, dst FROM ({links}) WHERE src != dst),
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM edges),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+        ) GROUP BY node),
+keyed AS (SELECT node, deg * n_docs + node AS k FROM deg, n_rel),
+oriented AS (
+  SELECT CASE WHEN ku.k < kv.k THEN und.u ELSE und.v END AS a,
+         CASE WHEN ku.k < kv.k THEN und.v ELSE und.u END AS b,
+         greatest(ku.k, kv.k) AS kb
+  FROM und
+  JOIN keyed ku ON ku.node = und.u
+  JOIN keyed kv ON kv.node = und.v
+),
+tris AS (
+  SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+  FROM oriented e1
+  JOIN oriented e2 ON e1.a = e2.a AND e1.kb < e2.kb
+  JOIN oriented c ON c.a = e1.b AND c.b = e2.b
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS tri_cnt FROM (
+  SELECT n1 AS doc_id FROM tris
+  UNION ALL SELECT n2 FROM tris
+  UNION ALL SELECT n3 FROM tris
+) GROUP BY doc_id
+ORDER BY tri_cnt DESC, doc_id ASC
+"""
+
+
+TRIANGLE_COUNT_SQL = _triangle_count_sql()

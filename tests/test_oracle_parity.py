@@ -24,6 +24,8 @@ FAST_QUERIES = [
     "pair_scores",
     "tfidf_cosine_topk",
     "pagerank",
+    "triangle_count",
+    "blocking_quality",
     "click_attribution_asof",
     "length_quantiles",
     "vocab_hll_registers",
