@@ -32,6 +32,7 @@ from biomedical_entity_linking_spark.operators import string_scores as SS
 from biomedical_entity_linking_spark.operators import tfidf as TI
 from biomedical_entity_linking_spark.operators import asof as AO
 from biomedical_entity_linking_spark.operators import er_quality as EQ
+from biomedical_entity_linking_spark.operators import incremental as IC
 from biomedical_entity_linking_spark.operators import linkgraph as LG
 from biomedical_entity_linking_spark.operators import weburl as WU
 
@@ -478,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": LG.pagerank,
         "triangle_count": LG.triangle_count,
         "blocking_quality": EQ.blocking_quality,
+        "incremental_linkage": IC.incremental_linkage,
         "click_attribution_asof": AO.click_attribution_asof,
         "length_quantiles": TA.length_quantiles,
         "vocab_hll_registers": SK.vocab_hll_registers,
@@ -546,6 +548,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": LG.PAGERANK_SQL,
         "triangle_count": LG.TRIANGLE_COUNT_SQL,
         "blocking_quality": EQ.BLOCKING_QUALITY_SQL,
+        "incremental_linkage": IC.INCREMENTAL_LINKAGE_SQL,
         "click_attribution_asof": AO.CLICK_ATTRIBUTION_ASOF_SQL,
         "length_quantiles": TA.LENGTH_QUANTILES_SQL,
         "vocab_hll_registers": SK.VOCAB_HLL_REGISTERS_SQL,

@@ -1,0 +1,134 @@
+"""Incremental linkage: attach a NEW batch of pages to an EXISTING
+cluster table without re-running the full pipeline.
+
+A production ER deployment never re-links 10^12 pages because a nightly
+crawl delivered 10^9 new ones. The incremental contract is: keep one
+CANONICAL row per existing cluster, block the delta against those
+canonicals only, score, and assign each new page to the best existing
+cluster above threshold — or mint a new cluster keyed by its own id.
+Cost is O(|delta| x block width): the base corpus is touched only
+through its (tiny) canonical relation, and base-vs-base pairs are never
+re-scored. This is the same candidate-then-score shape as the flagship
+pipeline's pairs/score stages (``pipeline.py``), specialized to the
+delta-vs-canonical asymmetry; the reference's equivalent move is
+resolving new mentions against a FIXED ontology index
+(``candidate_generation.py`` query-vs-dictionary, never
+dictionary-vs-dictionary).
+
+Demonstrated on the ``documents`` table with a deterministic split —
+``doc_id % 10 == 0`` is the arriving delta, the rest is the installed
+base. Base clusters form on the normalized 48-char text prefix (the
+planted exact-dup groups make these real multi-row clusters); delta
+rows block on the 12-char prefix of the same normalization and score by
+``levenshtein`` — BUILT-IN and integer on both engines, so unlike a
+float similarity the argmin is bit-exact cross-engine with no kernel
+certification needed. Assignment: best (dist ASC, cluster_id ASC) with
+dist <= ``MAX_DIST``, else a fresh cluster.
+
+Scale shape (100 TB base, 1% delta): the canonical relation is one row
+per cluster and arrives bucketed by block key from the previous run, so
+the only shuffle this job pays is the DELTA's block-key repartition —
+the base never moves. The per-block width is bounded by the blocking
+granularity (here the 12-char prefix; production uses the flagship's
+capped LSH bands, same join shape), and the window argmin is per-delta-
+row, never global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+NORM_LEN = 48
+BLOCK_LEN = 12
+MAX_DIST = 12
+
+
+def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.lower(F.substring("text", 1, NORM_LEN)).alias("norm"),
+    )
+
+
+def incremental_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, cluster_id, match_dist, is_new) for the delta.
+
+    Every delta row gets exactly one output row: the existing cluster it
+    joined (with its integer edit distance) or itself as a new cluster
+    (match_dist null, is_new true).
+    """
+    docs = _normed(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    canon = base.groupBy("norm").agg(F.min("doc_id").alias("cluster_id"))
+    cand = (
+        delta.select(
+            "doc_id",
+            F.col("norm").alias("d_norm"),
+            F.substring("norm", 1, BLOCK_LEN).alias("bk"),
+        )
+        .join(
+            canon.select(
+                "cluster_id",
+                F.col("norm").alias("c_norm"),
+                F.substring("norm", 1, BLOCK_LEN).alias("bk"),
+            ),
+            "bk",
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.levenshtein("d_norm", "c_norm").alias("dist"),
+        )
+        .filter(F.col("dist") <= MAX_DIST)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("dist").asc(), F.col("cluster_id").asc()
+    )
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        delta.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            F.col("dist").alias("match_dist"),
+            F.col("cluster_id").isNull().alias("is_new"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+INCREMENTAL_LINKAGE_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, lower(substr(text, 1, {NORM_LEN})) AS norm FROM documents
+),
+base AS (SELECT * FROM docs WHERE doc_id % 10 != 0),
+delta AS (SELECT * FROM docs WHERE doc_id % 10 = 0),
+canon AS (SELECT norm, min(doc_id) AS cluster_id FROM base GROUP BY norm),
+cand AS (
+  SELECT d.doc_id, c.cluster_id, levenshtein(d.norm, c.norm) AS dist
+  FROM delta d
+  JOIN canon c
+    ON substr(d.norm, 1, {BLOCK_LEN}) = substr(c.norm, 1, {BLOCK_LEN})
+  WHERE levenshtein(d.norm, c.norm) <= {MAX_DIST}
+),
+best AS (
+  SELECT doc_id, cluster_id, dist,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY dist ASC, cluster_id ASC) AS rn
+  FROM cand
+)
+SELECT d.doc_id,
+       coalesce(b.cluster_id, d.doc_id) AS cluster_id,
+       b.dist AS match_dist,
+       b.cluster_id IS NULL AS is_new
+FROM delta d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+ORDER BY doc_id
+"""
