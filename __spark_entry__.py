@@ -479,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": LG.pagerank,
         "triangle_count": LG.triangle_count,
         "blocking_quality": EQ.blocking_quality,
+        "bcubed_quality": EQ.bcubed_quality,
         "incremental_linkage": IC.incremental_linkage,
         "click_attribution_asof": AO.click_attribution_asof,
         "length_quantiles": TA.length_quantiles,
@@ -548,6 +549,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": LG.PAGERANK_SQL,
         "triangle_count": LG.TRIANGLE_COUNT_SQL,
         "blocking_quality": EQ.BLOCKING_QUALITY_SQL,
+        "bcubed_quality": EQ.BCUBED_QUALITY_SQL,
         "incremental_linkage": IC.INCREMENTAL_LINKAGE_SQL,
         "click_attribution_asof": AO.CLICK_ATTRIBUTION_ASOF_SQL,
         "length_quantiles": TA.LENGTH_QUANTILES_SQL,

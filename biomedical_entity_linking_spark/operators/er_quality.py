@@ -48,6 +48,7 @@ from .similarity import _CELL8_SQL, _cell8_expr
 
 _PPM = 1_000_000
 _SCHEME_BITS = (8, 6, 4)
+_BCUBED_BITS = 4  # system clustering under evaluation: 4-bit sign cells
 
 
 def _pair_sum(df: DataFrame, keys: list[str], out: str) -> DataFrame:
@@ -109,6 +110,87 @@ def blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"true_cand_pairs * {_PPM} div cand_pairs"
         ).alias("quality_ppm"),
     ).orderBy(F.col("scheme_bits").desc())
+
+
+def bcubed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings → one row of B-cubed precision/recall/F1 (integer ppm).
+
+    B-cubed is the ER literature's item-weighted cluster metric (the
+    reference reports entity-level linking accuracy the same
+    per-mention-averaged way, ``eval_cluster_linking.py`` metrics): for
+    each ITEM, precision = |its cluster ∩ its gold class| / |cluster|
+    and recall = the same overlap / |gold class|; corpus scores are the
+    item averages. Unlike pairwise F1 it neither explodes quadratically
+    nor lets one giant cluster dominate — which is why it is computable
+    here with ZERO pair materialization: three group-count relations
+    (cluster, class, overlap), broadcast back onto items, one final sum.
+
+    At 10^12 items the count relations stay bounded by cluster/class
+    cardinality, the items relation never shuffles (broadcast joins),
+    and the final average is a single map-side-combinable agg.
+
+    The system clustering under evaluation is the 4-bit sign-cell
+    assignment (the coarsest ``blocking_quality`` scheme, so the two
+    relations read together: this is the cluster-level view of the same
+    system the pair-level table scores). Per-item ratios are integer
+    micro-units (``· 10^6 div size``), averaged by integer div — exact
+    in both engines.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        "label",
+        F.shiftright(
+            _cell8_expr(F.col("embedding")), 8 - _BCUBED_BITS
+        ).alias("cell"),
+    )
+    csz = emb.groupBy("cell").agg(F.count("*").alias("c"))
+    gsz = emb.groupBy("label").agg(F.count("*").alias("g"))
+    osz = emb.groupBy("cell", "label").agg(F.count("*").alias("o"))
+    per_item = (
+        emb.join(F.broadcast(csz), "cell")
+        .join(F.broadcast(gsz), "label")
+        .join(F.broadcast(osz), ["cell", "label"])
+        .select(
+            F.expr(f"o * {_PPM} div c").alias("p_ppm"),
+            F.expr(f"o * {_PPM} div g").alias("r_ppm"),
+        )
+    )
+    return per_item.agg(
+        F.count("*").alias("n_items"),
+        F.expr("sum(p_ppm) div count(*)").alias("bcubed_precision_ppm"),
+        F.expr("sum(r_ppm) div count(*)").alias("bcubed_recall_ppm"),
+        F.expr(
+            "2 * (sum(p_ppm) div count(*)) * (sum(r_ppm) div count(*))"
+            " div ((sum(p_ppm) div count(*)) + (sum(r_ppm) div count(*)))"
+        ).alias("bcubed_f1_ppm"),
+    )
+
+
+BCUBED_QUALITY_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         ({_CELL8_SQL}) // {1 << (8 - _BCUBED_BITS)} AS cell
+  FROM embeddings
+),
+csz AS (SELECT cell, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY cell),
+gsz AS (SELECT label, CAST(count(*) AS BIGINT) AS g FROM e GROUP BY label),
+osz AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS o
+        FROM e GROUP BY cell, label),
+per_item AS (
+  SELECT o * {_PPM} // c AS p_ppm, o * {_PPM} // g AS r_ppm
+  FROM e
+  JOIN csz USING (cell)
+  JOIN gsz USING (label)
+  JOIN osz USING (cell, label)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       sum(p_ppm) // count(*) AS bcubed_precision_ppm,
+       sum(r_ppm) // count(*) AS bcubed_recall_ppm,
+       2 * (sum(p_ppm) // count(*)) * (sum(r_ppm) // count(*))
+         // ((sum(p_ppm) // count(*)) + (sum(r_ppm) // count(*)))
+         AS bcubed_f1_ppm
+FROM per_item
+"""
 
 
 def _scheme_sql(bits: int) -> str:

@@ -110,3 +110,37 @@ def test_blocking_quality_counts_vs_pairwise(spark, bq):
     assert (row.cand_pairs, row.gold_pairs, row.true_cand_pairs) == (
         cand, gold, true,
     )
+
+
+def test_bcubed_matches_brute_force(spark):
+    """Pure-Python B-cubed over collected rows == the distributed op."""
+    rows = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+
+    def cell(e):
+        code = sum((1 << (7 - i)) for i in range(8) if e[i] > 0)
+        return code >> 4  # _BCUBED_BITS = 4
+
+    items = [(r.vec_id, r.label, cell(r.embedding)) for r in rows]
+    from collections import Counter
+
+    csz = Counter(c for _, _, c in items)
+    gsz = Counter(l for _, l, _ in items)
+    osz = Counter((c, l) for _, l, c in items)
+    p = sum(osz[(c, l)] * 1_000_000 // csz[c] for _, l, c in items)
+    r = sum(osz[(c, l)] * 1_000_000 // gsz[l] for _, l, c in items)
+    n = len(items)
+    p_ppm, r_ppm = p // n, r // n
+    want = {
+        "n_items": n,
+        "bcubed_precision_ppm": p_ppm,
+        "bcubed_recall_ppm": r_ppm,
+        "bcubed_f1_ppm": 2 * p_ppm * r_ppm // (p_ppm + r_ppm),
+    }
+    got = EQ.bcubed_quality(spark, SF).collect()[0].asDict()
+    assert got == want
+    # sanity: ppm scores live in [0, 1e6] and a perfect clustering bound
+    assert 0 < got["bcubed_f1_ppm"] <= 1_000_000

@@ -26,6 +26,7 @@ FAST_QUERIES = [
     "pagerank",
     "triangle_count",
     "blocking_quality",
+    "bcubed_quality",
     "incremental_linkage",
     "click_attribution_asof",
     "length_quantiles",
