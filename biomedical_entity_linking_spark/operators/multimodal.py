@@ -427,7 +427,7 @@ def _pil():
 
 
 def sniff_image_format(payload: bytes) -> str | None:
-    """Magic-byte sniff: 'bmp' | 'jpeg' | 'png' | None."""
+    """Magic-byte sniff: 'bmp' | 'jpeg' | 'png' | 'gif' | None."""
     if payload is None or len(payload) < 8:
         return None
     if payload[:2] == b"BM":
@@ -436,13 +436,17 @@ def sniff_image_format(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Image decode dispatch → uint8 (h, w, 3) RGB.
 
-    BMP, PNG (8/16-bit, Adam7 interlaced or not) and jpeg
+    BMP, PNG (8/16-bit, Adam7 interlaced or not), GIF (87a/89a LZW,
+    global/local palettes, interlace, animation first frame —
+    ``functions/gif.py``) and jpeg
     (baseline/multi-scan/progressive; 4:4:4, 4:2:0, 4:2:2, grayscale;
     restart intervals — ``functions/jpeg.py``) decode with the built-in
     pure-numpy codecs — no external dependency. The residual variants
@@ -454,6 +458,21 @@ def decode_image(payload: bytes) -> np.ndarray:
     kind = sniff_image_format(payload)
     if kind == "bmp":
         return decode_bmp(payload)
+    if kind == "gif":
+        try:
+            # built-in real codec (functions/gif.py): LZW, global/local
+            # palettes, interlace, animation-first-frame
+            from ..functions.gif import decode_gif
+
+            return decode_gif(payload)
+        except ValueError:
+            if _pil() is None:
+                raise
+            import io
+
+            image_mod = _pil()
+            with image_mod.open(io.BytesIO(payload)) as im:
+                return np.asarray(im.convert("RGB"))
     if kind == "png":
         try:
             return decode_png(payload)  # built-in real codec, no deps
