@@ -27,6 +27,7 @@ from biomedical_entity_linking_spark.operators import multimodal as MM
 from biomedical_entity_linking_spark.operators import metrics as MT
 from biomedical_entity_linking_spark.operators import similarity as SIM
 from biomedical_entity_linking_spark.operators import text_analysis as TA
+from biomedical_entity_linking_spark.operators import setjoin as SJ
 from biomedical_entity_linking_spark.operators import sketch as SK
 from biomedical_entity_linking_spark.operators import string_scores as SS
 from biomedical_entity_linking_spark.operators import tfidf as TI
@@ -491,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": WU.host_stats,
         # near-dup cluster formation (LSH edges → connected components)
         "neardup_clusters": D.neardup_clusters,
+        "prefix_jaccard_join": SJ.prefix_jaccard_join,
         # similarity search + labeled-candidate evaluation
         "cosine_topk": SIM.cosine_topk,
         "ivf_topk": SIM.ivf_topk,
@@ -560,6 +562,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": WU.URL_DEDUP_SQL,
         "host_stats": WU.HOST_STATS_SQL,
         "neardup_clusters": D.NEARDUP_CLUSTERS_SQL,
+        "prefix_jaccard_join": SJ.PREFIX_JACCARD_SQL,
         "cosine_topk": SIM.COSINE_TOPK_SQL,
         "ivf_topk": SIM.IVF_TOPK_SQL,
         "proto_topk": SIM.PROTO_TOPK_SQL,

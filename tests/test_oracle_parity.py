@@ -28,6 +28,7 @@ FAST_QUERIES = [
     "blocking_quality",
     "bcubed_quality",
     "incremental_linkage",
+    "prefix_jaccard_join",
     "click_attribution_asof",
     "length_quantiles",
     "vocab_hll_registers",
