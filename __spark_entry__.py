@@ -490,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": SK.length_histogram,
         "url_dedup": WU.url_dedup,
         "host_stats": WU.host_stats,
+        "snapshot_diff": WU.snapshot_diff,
         # near-dup cluster formation (LSH edges → connected components)
         "neardup_clusters": D.neardup_clusters,
         "prefix_jaccard_join": SJ.prefix_jaccard_join,
@@ -561,6 +562,7 @@ def oracle_sql() -> dict[str, str]:
         "length_histogram": SK.LENGTH_HISTOGRAM_SQL,
         "url_dedup": WU.URL_DEDUP_SQL,
         "host_stats": WU.HOST_STATS_SQL,
+        "snapshot_diff": WU.SNAPSHOT_DIFF_SQL,
         "neardup_clusters": D.NEARDUP_CLUSTERS_SQL,
         "prefix_jaccard_join": SJ.PREFIX_JACCARD_SQL,
         "cosine_topk": SIM.COSINE_TOPK_SQL,

@@ -40,7 +40,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 NORM_LEN = 48
-BLOCK_LEN = 12
+# 24-char block prefix, measured against the planted viral-title skew: at
+# 1M docs the 12-char prefix put 5,426 canonicals under one "untitled
+# doc…" key (3.2M of 3.8M total candidates from that single block — the
+# SKEW_NOTE axis); 24 chars reaches past the viral title into the first
+# body word and collapses the join to 123k candidates with a max block of
+# 89 canonicals. The trade is the blocking contract (near-dups must share
+# the 24-char normalized prefix); production swaps in the flagship's
+# capped LSH bands for title-robust blocking, same join shape.
+BLOCK_LEN = 24
 MAX_DIST = 12
 
 

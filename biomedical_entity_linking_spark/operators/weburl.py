@@ -275,3 +275,79 @@ FROM ({_CANONICALIZE_SQL})
 GROUP BY domain
 ORDER BY domain
 """
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff: change detection between two crawl snapshots
+# ---------------------------------------------------------------------------
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, status) classifying every page across two
+    crawl snapshots: added / removed / changed / unchanged.
+
+    The incremental-crawl front door: before anything re-processes, a
+    deployment diffs today's snapshot against yesterday's to route only
+    the delta into the pipeline (``operators/incremental`` then attaches
+    the added/changed rows). The two snapshots are SYNTHESIZED
+    deterministically from the documents table (the test tables carry
+    one snapshot), mirrored verbatim in the oracle:
+
+    * yesterday = every doc except ``doc_id % 20 == 3`` (pages that only
+      exist today → **added**);
+    * today     = every doc except ``doc_id % 20 == 7`` (pages that
+      vanished → **removed**);
+    * today's content for ``doc_id % 5 == 0`` carries an edit (suffix
+      marker) → **changed**; everything else is **unchanged**.
+
+    Comparison is by md5 content hash, not content: at 100 TB the diff
+    join ships 16-byte digests, never page bodies, and both snapshot
+    tables arrive bucketed by the join key from their own ingest runs,
+    so the FULL OUTER JOIN is a zero-shuffle sort-merge over
+    co-partitioned buckets; the classification is a pure projection.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    yesterday = docs.filter(F.col("doc_id") % 20 != 3).select(
+        "doc_id", F.md5("text").alias("h_old")
+    )
+    today = docs.filter(F.col("doc_id") % 20 != 7).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("h_new"),
+    )
+    return (
+        yesterday.join(today, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("h_old").isNull(), F.lit("added"))
+            .when(F.col("h_new").isNull(), F.lit("removed"))
+            .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH yesterday AS (
+  SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id % 20 != 3
+),
+today AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END)
+           AS h_new
+  FROM documents WHERE doc_id % 20 != 7
+)
+SELECT coalesce(y.doc_id, t.doc_id) AS doc_id,
+       CASE WHEN y.h_old IS NULL THEN 'added'
+            WHEN t.h_new IS NULL THEN 'removed'
+            WHEN y.h_old != t.h_new THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM yesterday y FULL OUTER JOIN today t ON y.doc_id = t.doc_id
+ORDER BY doc_id
+"""

@@ -29,6 +29,7 @@ FAST_QUERIES = [
     "bcubed_quality",
     "incremental_linkage",
     "prefix_jaccard_join",
+    "snapshot_diff",
     "click_attribution_asof",
     "length_quantiles",
     "vocab_hll_registers",

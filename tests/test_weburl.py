@@ -126,3 +126,24 @@ def test_canonicalize_is_idempotent_and_preserves_columns(spark, url_docs):
         .collect()
     )
     assert diff == [], diff
+
+
+def test_snapshot_diff_planted_structure(spark):
+    """Every class lands exactly on its planted residue: added ≡ 3 (mod
+    20), removed ≡ 7 (mod 20), changed ≡ 0 (mod 5) — the residues are
+    constructed disjoint (3 and 7 mod 20 are never 0 mod 5)."""
+    from biomedical_entity_linking_spark.operators.weburl import snapshot_diff
+
+    out = snapshot_diff(spark, "/root/testdata/sf0.01").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.status, set()).add(r.doc_id)
+    assert all(d % 20 == 3 for d in by["added"])
+    assert all(d % 20 == 7 for d in by["removed"])
+    assert all(d % 5 == 0 for d in by["changed"])
+    assert by["changed"] == {
+        d for s in by.values() for d in s if d % 5 == 0
+    }
+    # union covers every doc exactly once
+    n = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").count()
+    assert sum(len(s) for s in by.values()) == n

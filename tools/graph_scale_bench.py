@@ -41,6 +41,17 @@ _FNS = {
     "pagerank": linkgraph.pagerank,
     "incremental_linkage": incremental.incremental_linkage,
 }
+density = int(os.environ.get("GRAPH_DENSITY", "0"))
+if density:
+    # input-density axis: extend the synthesized link GENERATOR with more
+    # affine-permutation out-links per page (operator code untouched) so
+    # the per-iteration work grows while barrier count stays fixed — the
+    # amortization measurement (cf. CC: eff 0.58 at 1M edges, 0.91 at 30M)
+    extra = tuple(
+        f"({p} * doc_id + {i}) % n_docs"
+        for i, p in enumerate((11, 13, 17, 19, 23, 29, 31, 37)[:density])
+    )
+    linkgraph._LINK_EXPRS = linkgraph._LINK_EXPRS + extra
 parts = int(os.environ.get("DEDUP_BENCH_PARTS", "64"))
 spark = get_spark(app_name=f"graphscale{cpus}", cores=cpus,
                   shuffle_partitions=max(parts, 2 * cpus))
