@@ -30,6 +30,7 @@ from biomedical_entity_linking_spark.operators import text_analysis as TA
 from biomedical_entity_linking_spark.operators import setjoin as SJ
 from biomedical_entity_linking_spark.operators import sketch as SK
 from biomedical_entity_linking_spark.operators import string_scores as SS
+from biomedical_entity_linking_spark.operators import survivorship as SV
 from biomedical_entity_linking_spark.operators import tfidf as TI
 from biomedical_entity_linking_spark.operators import asof as AO
 from biomedical_entity_linking_spark.operators import er_quality as EQ
@@ -482,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_quality": EQ.blocking_quality,
         "bcubed_quality": EQ.bcubed_quality,
         "incremental_linkage": IC.incremental_linkage,
+        "survivorship": SV.survivorship,
         "click_attribution_asof": AO.click_attribution_asof,
         "length_quantiles": TA.length_quantiles,
         "vocab_hll_registers": SK.vocab_hll_registers,
@@ -554,6 +556,7 @@ def oracle_sql() -> dict[str, str]:
         "blocking_quality": EQ.BLOCKING_QUALITY_SQL,
         "bcubed_quality": EQ.BCUBED_QUALITY_SQL,
         "incremental_linkage": IC.INCREMENTAL_LINKAGE_SQL,
+        "survivorship": SV.SURVIVORSHIP_SQL,
         "click_attribution_asof": AO.CLICK_ATTRIBUTION_ASOF_SQL,
         "length_quantiles": TA.LENGTH_QUANTILES_SQL,
         "vocab_hll_registers": SK.VOCAB_HLL_REGISTERS_SQL,

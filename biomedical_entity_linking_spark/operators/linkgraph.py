@@ -94,17 +94,27 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = nodes.join(F.broadcast(n_rel)).select(
         "doc_id", F.expr(f"{RANK_SCALE} div n_docs").alias("base_q")
     )
-    # materialize the small static relations once; localCheckpoint each
+    # materialize the static relations once; localCheckpoint each
     # iteration's rank to cut lineage (5 nested join trees re-evaluate
-    # the whole prefix otherwise) — same move as connected_components
-    edges = edges.localCheckpoint(eager=True)
-    outdeg = outdeg.localCheckpoint(eager=True)
-    base = base.localCheckpoint(eager=True)
+    # the whole prefix otherwise) — same move as connected_components.
+    # outdeg is FOLDED INTO the edge relation up front (it never changes),
+    # so each round pays ONE join instead of two; pre-hashing the weighted
+    # edges on src lets every round's rank⋈edges sort-merge reuse the
+    # edge side's layout (LogicalRDD keeps the partitioning through the
+    # checkpoint) — measured 56.3 → see BENCH.md graph section
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    edges_w = (
+        edges.join(outdeg, "src")
+        .select("src", "dst", "outdeg")
+        .repartition(n_parts, "src")
+        .localCheckpoint(eager=True)
+    )
+    base = base.repartition(n_parts, "doc_id").localCheckpoint(eager=True)
     rank = base.select("doc_id", F.col("base_q").alias("rank_q"))
     for it in range(N_ITER):
         contrib = (
-            rank.join(outdeg, rank["doc_id"] == outdeg["src"])
-            .join(edges, "src")
+            rank.withColumnRenamed("doc_id", "src")
+            .join(edges_w, "src")
             .select(
                 F.col("dst").alias("doc_id"),
                 F.expr("rank_q div outdeg").alias("c"),

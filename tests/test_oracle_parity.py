@@ -30,6 +30,7 @@ FAST_QUERIES = [
     "incremental_linkage",
     "prefix_jaccard_join",
     "snapshot_diff",
+    "survivorship",
     "click_attribution_asof",
     "length_quantiles",
     "vocab_hll_registers",
