@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from biomedical_entity_linking_spark.operators import dedup as D
 from biomedical_entity_linking_spark.operators import evaluation as EV
+from biomedical_entity_linking_spark.operators import events_analytics as EA
 from biomedical_entity_linking_spark.operators import ladder as LD
 from biomedical_entity_linking_spark.operators import mentions as MN
 from biomedical_entity_linking_spark.operators import multimodal as MM
@@ -521,6 +522,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_crosstab": q_order_priority_crosstab,
         "user_event_stats": q_user_event_stats,
         "event_gaps": q_event_gaps,
+        "event_sessions": EA.event_sessions,
+        "funnel_conversion": EA.funnel_conversion,
+        "retention_cohorts": EA.retention_cohorts,
         "purchasers_who_clicked": q_purchasers_who_clicked,
         "part_vote_rank": q_part_vote_rank,
         "order_part_sets": q_order_part_sets,
@@ -590,6 +594,9 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_crosstab": Q_CROSSTAB_SQL,
         "user_event_stats": Q_USER_EVENT_STATS_SQL,
         "event_gaps": Q_EVENT_GAPS_SQL,
+        "event_sessions": EA.EVENT_SESSIONS_SQL,
+        "funnel_conversion": EA.FUNNEL_CONVERSION_SQL,
+        "retention_cohorts": EA.RETENTION_COHORTS_SQL,
         "purchasers_who_clicked": Q_PURCHASERS_SQL,
         "part_vote_rank": Q_PART_VOTE_RANK_SQL,
         "order_part_sets": Q_ORDER_PART_SETS_SQL,

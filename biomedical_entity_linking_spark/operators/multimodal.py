@@ -16,10 +16,12 @@ sub-byte-depth PNG) decode through the PLUGGABLE registry: if
 the optional public Pillow dependency is importable on the executors,
 ``decode_image`` prefers it; otherwise unsupported variants raise a
 clearly-marked ``NotImplementedError`` (feature extraction falls back to
-the deterministic stub). Video: ISO-BMFF (mp4) container METADATA —
-duration, track dimensions, track count — parses for REAL via a pure
-struct box walk (``parse_mp4_metadata``); frame DECODE stays a declared
-stub — ffmpeg is out of scope. The dispatch, schema, Arrow batch shape, ``mapInPandas``
+the deterministic stub). Video: ISO-BMFF (mp4) and RIFF/AVI container
+METADATA — duration, dimensions, stream count — parse for REAL via pure
+struct walks (``parse_mp4_metadata``, ``functions/avi.py``); frame
+DECODE is REAL for MJPEG-AVI (per-frame built-in JPEG) and animated GIF
+(``video_frame_features``), and stays a declared stub only for
+entropy-coded codecs (H.264/mp4) — ffmpeg is out of scope. The dispatch, schema, Arrow batch shape, ``mapInPandas``
 iterator signatures, and metadata projection are identical either way, so
 a production deployment only adds the codec libs to its executor image.
 
@@ -679,17 +681,29 @@ def parse_mp4_metadata(payload: bytes) -> dict:
 
 
 def video_metadata(media: DataFrame) -> DataFrame:
-    """Per-video container metadata via the REAL ISO-BMFF parser — Arrow
-    batches through ``mapInPandas`` (same vectorized shape as
-    ``image_features``); unparseable payloads yield a typed null row,
-    never a crash."""
+    """Per-video container metadata via the REAL container parsers —
+    ISO-BMFF (mp4) or RIFF (AVI, ``functions/avi.py``), dispatched by
+    magic bytes — Arrow batches through ``mapInPandas`` (same vectorized
+    shape as ``image_features``); unparseable payloads yield a typed
+    null row, never a crash."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.avi import parse_avi_metadata
+
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    m = parse_mp4_metadata(payload)
+                    if payload[:4] == b"RIFF":
+                        a = parse_avi_metadata(payload)
+                        m = {
+                            "duration_ms": a["duration_ms"],
+                            "width": a["width"],
+                            "height": a["height"],
+                            "n_tracks": a["n_streams"],
+                        }
+                    else:
+                        m = parse_mp4_metadata(payload)
                     out.append(
                         (
                             int(mid),
@@ -699,7 +713,7 @@ def video_metadata(media: DataFrame) -> DataFrame:
                             m["n_tracks"],
                         )
                     )
-                except (ValueError, struct.error):
+                except (ValueError, struct.error, TypeError):
                     out.append((int(mid), None, None, None, None))
             yield pd.DataFrame(
                 out,
@@ -909,6 +923,68 @@ def image_features(media: DataFrame, thumb_h: int = 2, thumb_w: int = 4) -> Data
         run,
         "media_id long, width int, height int, mean_r double, "
         "mean_g double, mean_b double, thumb array<double>",
+    )
+
+
+def video_frame_features(media: DataFrame, max_frames: int = 8) -> DataFrame:
+    """REAL per-frame video decode where the engine owns the codec chain:
+    MJPEG-AVI (RIFF walk → per-frame built-in JPEG decode,
+    ``functions/avi.py``) and animated GIF (``functions/gif.py``) emit
+    one row per decoded frame (frame_idx, dims, channel means); mp4
+    payloads — whose frame entropy coding stays the declared stub —
+    yield a single typed null row per video, same contract as
+    ``image_features`` for undecodable images.
+
+    Scale shape: frames of one video decode inside one task (the Arrow
+    batch holds the payload once); fan-out beyond ``max_frames`` is the
+    ``frame_sample_plan`` explode + an explicit repartition, exactly as
+    that operator documents."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.avi import decode_avi_frames
+        from ..functions.gif import decode_gif_frames
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = None
+                try:
+                    if payload[:4] == b"RIFF":
+                        frames = decode_avi_frames(payload)
+                    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                        frames = (f for _, _, f in decode_gif_frames(payload))
+                except (ValueError, struct.error, TypeError):
+                    frames = None
+                if frames is None:
+                    rows.append((int(mid), None, None, None, None, None, None))
+                    continue
+                emitted = False
+                try:
+                    for i, fr in enumerate(frames):
+                        if i >= max_frames:
+                            break
+                        m = fr.astype(np.float64).mean(axis=(0, 1)) / 255.0
+                        rows.append(
+                            (int(mid), i, fr.shape[0], fr.shape[1],
+                             float(m[0]), float(m[1]), float(m[2]))
+                        )
+                        emitted = True
+                except ValueError:
+                    pass
+                if not emitted:
+                    rows.append((int(mid), None, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "height", "width",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "payload"
+    ).mapInPandas(
+        run,
+        "media_id long, frame_idx int, height int, width int, "
+        "mean_r double, mean_g double, mean_b double",
     )
 
 

@@ -31,6 +31,9 @@ FAST_QUERIES = [
     "prefix_jaccard_join",
     "snapshot_diff",
     "survivorship",
+    "event_sessions",
+    "funnel_conversion",
+    "retention_cohorts",
     "click_attribution_asof",
     "length_quantiles",
     "vocab_hll_registers",
