@@ -476,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_packing": TA.shard_packing,
         "vocab_topk": TA.vocab_topk,
         "pii_scrub": TA.pii_scrub,
+        "leakage_safe_split": TA.leakage_safe_split,
         # web-crawl key canonicalization
         "pair_scores": SS.pair_scores,
         "tfidf_cosine_topk": TI.tfidf_cosine_topk,
@@ -553,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_packing": TA.SHARD_PACKING_SQL,
         "vocab_topk": TA.VOCAB_TOPK_SQL,
         "pii_scrub": TA.PII_SCRUB_SQL,
+        "leakage_safe_split": TA.LEAKAGE_SAFE_SPLIT_SQL,
         "pair_scores": SS.PAIR_SCORES_SQL,
         "tfidf_cosine_topk": TI.TFIDF_COSINE_TOPK_SQL,
         "pagerank": LG.PAGERANK_SQL,

@@ -724,3 +724,63 @@ FROM ranked
 GROUP BY source
 ORDER BY source
 """
+
+
+SPLIT_TRAIN, SPLIT_VAL = 0.8, 0.9  # cumulative split boundaries
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, cluster_id, split): train/val/test assigned
+    per DUP-CLUSTER, never per doc — the leakage guard every eval split
+    needs. A near-duplicate of a training page sitting in the test split
+    is silent contamination (the within-corpus twin of benchmark
+    ``decontamination``); assigning the split from a hash of the
+    CLUSTER id makes straddling structurally impossible. Clusters here
+    are the engine's normalized-prefix exact groups (the same grouping
+    ``incremental_linkage`` and ``survivorship`` key on); a production
+    pipeline feeds ``neardup_clusters``' labels through the identical
+    shape.
+
+    Determinism: the split comes from the ``_uniform_expr`` md5 map of
+    cluster_id — rerun-stable, resume-stable, and reproduced exactly by
+    the oracle. Scale: one window over the cluster key (or a join
+    against an existing cluster table), then a pure per-row map.
+    """
+    from .incremental import NORM_LEN
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.lower(F.substring("text", 1, NORM_LEN)).alias("norm")
+    )
+    clustered = docs.withColumn(
+        "cluster_id",
+        F.min("doc_id").over(Window.partitionBy("norm")),
+    )
+    u = _uniform_expr(F.col("cluster_id"))
+    return (
+        clustered.withColumn(
+            "split",
+            F.when(u < SPLIT_TRAIN, F.lit("train"))
+            .when(u < SPLIT_VAL, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+        .select("doc_id", "cluster_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+LEAKAGE_SAFE_SPLIT_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, lower(substr(text, 1, 48)) AS norm FROM documents
+),
+clustered AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY norm) AS cluster_id
+  FROM docs
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN {_sql_uniform('cluster_id')} < {SPLIT_TRAIN} THEN 'train'
+            WHEN {_sql_uniform('cluster_id')} < {SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM clustered
+ORDER BY doc_id
+"""

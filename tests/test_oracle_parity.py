@@ -34,6 +34,7 @@ FAST_QUERIES = [
     "event_sessions",
     "funnel_conversion",
     "retention_cohorts",
+    "leakage_safe_split",
     "click_attribution_asof",
     "length_quantiles",
     "vocab_hll_registers",

@@ -130,3 +130,20 @@ def test_pii_scrub_planted(spark, tmp_path):
     assert out.loc[1, "scrub_md5"] == hashlib.md5(
         b"mail <EMAIL> now"
     ).hexdigest()
+
+
+def test_leakage_safe_split_no_cluster_straddles(spark):
+    """The leakage guard itself: every dup cluster lands in exactly one
+    split, and split boundaries hold at cluster granularity."""
+    from biomedical_entity_linking_spark.operators.text_analysis import (
+        leakage_safe_split,
+    )
+
+    out = leakage_safe_split(spark, "/root/testdata/sf0.01").toPandas()
+    per_cluster = out.groupby("cluster_id").split.nunique()
+    assert (per_cluster == 1).all()
+    # multi-member clusters exist (otherwise the guard is vacuous)
+    assert (out.groupby("cluster_id").size() > 1).any()
+    # all three splits materialize and cover every doc exactly once
+    assert set(out.split) == {"train", "val", "test"}
+    assert out.doc_id.is_unique and len(out) == 500
