@@ -35,6 +35,7 @@ from biomedical_entity_linking_spark.operators import survivorship as SV
 from biomedical_entity_linking_spark.operators import tfidf as TI
 from biomedical_entity_linking_spark.operators import asof as AO
 from biomedical_entity_linking_spark.operators import er_quality as EQ
+from biomedical_entity_linking_spark.operators import fellegi_sunter as FS
 from biomedical_entity_linking_spark.operators import incremental as IC
 from biomedical_entity_linking_spark.operators import linkgraph as LG
 from biomedical_entity_linking_spark.operators import weburl as WU
@@ -498,6 +499,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # near-dup cluster formation (LSH edges → connected components)
         "neardup_clusters": D.neardup_clusters,
         "prefix_jaccard_join": SJ.prefix_jaccard_join,
+        # Fellegi–Sunter probabilistic linkage (EM-estimated weights)
+        "fs_em_weights": FS.fs_em_weights,
+        "fs_pair_posteriors": FS.fs_pair_posteriors,
         # similarity search + labeled-candidate evaluation
         "cosine_topk": SIM.cosine_topk,
         "ivf_topk": SIM.ivf_topk,
@@ -574,6 +578,8 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": WU.SNAPSHOT_DIFF_SQL,
         "neardup_clusters": D.NEARDUP_CLUSTERS_SQL,
         "prefix_jaccard_join": SJ.PREFIX_JACCARD_SQL,
+        "fs_em_weights": FS.FS_EM_WEIGHTS_SQL,
+        "fs_pair_posteriors": FS.FS_PAIR_POSTERIORS_SQL,
         "cosine_topk": SIM.COSINE_TOPK_SQL,
         "ivf_topk": SIM.IVF_TOPK_SQL,
         "proto_topk": SIM.PROTO_TOPK_SQL,

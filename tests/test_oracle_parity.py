@@ -29,6 +29,8 @@ FAST_QUERIES = [
     "bcubed_quality",
     "incremental_linkage",
     "prefix_jaccard_join",
+    "fs_em_weights",
+    "fs_pair_posteriors",
     "snapshot_diff",
     "survivorship",
     "event_sessions",
