@@ -478,11 +478,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": TA.vocab_topk,
         "pii_scrub": TA.pii_scrub,
         "leakage_safe_split": TA.leakage_safe_split,
+        "domain_posterior_scores": TA.domain_posterior_scores,
         # web-crawl key canonicalization
         "pair_scores": SS.pair_scores,
         "tfidf_cosine_topk": TI.tfidf_cosine_topk,
         "pagerank": LG.pagerank,
         "triangle_count": LG.triangle_count,
+        "label_propagation": LG.label_propagation,
         "blocking_quality": EQ.blocking_quality,
         "bcubed_quality": EQ.bcubed_quality,
         "incremental_linkage": IC.incremental_linkage,
@@ -559,10 +561,12 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": TA.VOCAB_TOPK_SQL,
         "pii_scrub": TA.PII_SCRUB_SQL,
         "leakage_safe_split": TA.LEAKAGE_SAFE_SPLIT_SQL,
+        "domain_posterior_scores": TA.DOMAIN_POSTERIOR_SQL,
         "pair_scores": SS.PAIR_SCORES_SQL,
         "tfidf_cosine_topk": TI.TFIDF_COSINE_TOPK_SQL,
         "pagerank": LG.PAGERANK_SQL,
         "triangle_count": LG.TRIANGLE_COUNT_SQL,
+        "label_propagation": LG.LABEL_PROPAGATION_SQL,
         "blocking_quality": EQ.BLOCKING_QUALITY_SQL,
         "bcubed_quality": EQ.BCUBED_QUALITY_SQL,
         "incremental_linkage": IC.INCREMENTAL_LINKAGE_SQL,

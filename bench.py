@@ -55,7 +55,16 @@ _SKIP = {"er_clusters"}
 
 
 def _bench_queries(entry_mod) -> list[str]:
-    return [n for n in sorted(entry_mod.queries()) if n not in _SKIP]
+    names = [n for n in sorted(entry_mod.queries()) if n not in _SKIP]
+    # BENCH_ONLY=a,b,c → time just that subset (dev loop / seeding quiet-ref
+    # entries for new queries). The driver always runs unfiltered; a filtered
+    # run's JSON carries "partial": true so it can't be mistaken for a
+    # headline reading.
+    only = os.environ.get("BENCH_ONLY")
+    if only:
+        keep = {x.strip() for x in only.split(",") if x.strip()}
+        names = [n for n in names if n in keep]
+    return names
 
 
 def _pages_parquet(spark, sf_name: str, n_entities: int, cache_root: str) -> str:
@@ -110,26 +119,32 @@ def main() -> None:
         spark.read.parquet(table).write.format("noop").mode("overwrite").save()
 
     # --- flagship ER pipeline (docs/sec headline) ---
+    partial = bool(os.environ.get("BENCH_ONLY"))
     pages = spark.read.parquet(pages_path)
     n_pages = pages.count()
-    work_dir = os.path.join(cache_root, f"er_run_{sf_name}_{os.getpid()}")
-    t0 = time.time()
-    out = run_pipeline(spark, pages, PipelineConfig(work_dir=work_dir))
-    n_clusters = out["clusters"].count()
-    er_sec = time.time() - t0
-    timings["er_pipeline"] = round(er_sec, 3)
-    # drop-rate gate (VERDICT r3 #8): the hot-key pair cap must stay a
-    # skew escape hatch — ~0% of key rows capped on a healthy corpus
-    block_stats = out["counters"]["pairs"]["block_stats"]
-    capped = sum(s["rows_capped"] for s in block_stats)
-    total_keys = sum(s["total_key_rows"] for s in block_stats)
-    capped_frac = capped / max(total_keys, 1)
-    assert capped_frac <= 0.005, (
-        f"pair-cap drop rate {capped_frac:.4f} exceeds 0.5% — blocking keys "
-        f"are skewed beyond the viral-title design point (capped={capped}, "
-        f"total={total_keys}); re-tune bands/rows or max_block_size"
-    )
-    shutil.rmtree(work_dir, ignore_errors=True)
+    er_sec = None
+    n_clusters = 0
+    capped_frac = 0.0
+    if not partial or "er_pipeline" in os.environ.get("BENCH_ONLY", ""):
+        work_dir = os.path.join(cache_root, f"er_run_{sf_name}_{os.getpid()}")
+        t0 = time.time()
+        out = run_pipeline(spark, pages, PipelineConfig(work_dir=work_dir))
+        n_clusters = out["clusters"].count()
+        er_sec = time.time() - t0
+        timings["er_pipeline"] = round(er_sec, 3)
+        # drop-rate gate (VERDICT r3 #8): the hot-key pair cap must stay a
+        # skew escape hatch — ~0% of key rows capped on a healthy corpus
+        block_stats = out["counters"]["pairs"]["block_stats"]
+        capped = sum(s["rows_capped"] for s in block_stats)
+        total_keys = sum(s["total_key_rows"] for s in block_stats)
+        capped_frac = capped / max(total_keys, 1)
+        assert capped_frac <= 0.005, (
+            f"pair-cap drop rate {capped_frac:.4f} exceeds 0.5% — blocking "
+            f"keys are skewed beyond the viral-title design point "
+            f"(capped={capped}, total={total_keys}); re-tune bands/rows or "
+            f"max_block_size"
+        )
+        shutil.rmtree(work_dir, ignore_errors=True)
 
     # --- operator benchmarks ---
     qs = entry_mod.queries()
@@ -177,9 +192,11 @@ def main() -> None:
         "cpus": CPUS,
         "er_pages": n_pages,
         "er_clusters": n_clusters,
-        "er_docs_per_sec": round(n_pages / er_sec, 2),
+        "er_docs_per_sec": round(n_pages / er_sec, 2) if er_sec else None,
         "pairs_capped_frac": round(capped_frac, 6),
     }
+    if partial:
+        payload["partial"] = True
     if window_notes:
         payload["window_notes"] = window_notes
     print(json.dumps(payload))

@@ -314,3 +314,159 @@ ORDER BY tri_cnt DESC, doc_id ASC
 
 
 TRIANGLE_COUNT_SQL = _triangle_count_sql()
+
+
+# --------------------------------------------------------------------------
+# Label propagation — deterministic synchronous community detection
+# --------------------------------------------------------------------------
+
+LPA_ITER = 4
+
+
+def _lpa(nodes: DataFrame, und: DataFrame, n_parts: int) -> DataFrame:
+    """(node) × undirected (u,v) → (node, community) after LPA_ITER
+    synchronous rounds. Vote = most frequent label over the CLOSED
+    neighborhood (neighbors + the node's own current label — the
+    self-vote), tie → smallest label; nodes with no neighbors keep
+    their own label.
+
+    The self-vote is load-bearing, not a variant choice: synchronous
+    neighbor-ONLY voting provably 2-cycles on bipartite structure (an
+    edge pair swaps labels forever, a star blinks center↔leaves —
+    both reproduced in ``tests/test_label_propagation.py`` during
+    development), while the closed neighborhood damps the oscillation
+    and converges on the same planted shapes.
+
+    Deterministic by construction: votes are integer counts over a
+    SIMPLE graph (the distinct undirected edge set), and the winner is
+    the unique first row of the (count DESC, label ASC) total order per
+    node — no RNG, no update-order dependence (synchronous rounds), so
+    both engines land on identical labelings. Classic async LPA
+    tie-breaks randomly; the deterministic variant is what a
+    reproducible 100 TB pipeline can actually ship.
+
+    Scale shape: per round one equi-join (neighbor → current label,
+    keyed by peer) + one (node,label) count agg (map-side combinable —
+    a hub's votes collapse per partition before the shuffle) + one
+    per-node window over ≤ degree(node) label rows. Rounds are
+    ``localCheckpoint``-ed like ``pagerank``'s to cut the growing join
+    lineage. Hub skew lands on the window's node key, bounded by the
+    node's DISTINCT neighbor-label count, which LPA itself shrinks
+    every round."""
+    from pyspark.sql import Window
+
+    nbr = (
+        und.select(F.col("u").alias("node"), F.col("v").alias("peer"))
+        .unionByName(
+            und.select(F.col("v").alias("node"), F.col("u").alias("peer"))
+        )
+        .unionByName(  # the self-vote: every node is its own peer
+            nodes.select(
+                F.col("doc_id").alias("node"),
+                F.col("doc_id").alias("peer"),
+            )
+        )
+        .repartition(n_parts, "peer")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        nodes.select(
+            F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+        )
+        .repartition(n_parts, "node")
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(LPA_ITER):
+        votes = (
+            nbr.join(
+                labels.select(
+                    F.col("node").alias("peer"), F.col("label")
+                ),
+                "peer",
+            )
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        winners = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(winners, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .repartition(n_parts, "node")
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, community) after 4 deterministic synchronous
+    LPA rounds over the synthesized link graph (same ``_LINK_EXPRS``
+    relation PageRank and triangle counting iterate) — the third member
+    of the graph family: CC finds connectivity, PageRank ranks it, LPA
+    finds the DENSE regions inside it (link farms, mirror networks,
+    template clusters in a crawl graph)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    und = _undirected(_edges(docs))
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    labels = _lpa(docs.select("doc_id"), und, n_parts)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("community")
+    ).orderBy("doc_id")
+
+
+def _lpa_sql() -> str:
+    links = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {expr} AS dst FROM t, n_rel"
+        for expr in _LINK_EXPRS
+    )
+    parts = [
+        f"""t AS (SELECT doc_id FROM documents),
+n_rel AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM t),
+edges AS (SELECT src, dst FROM ({links}) WHERE src != dst),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM edges
+),
+nbr AS (
+  SELECT u AS node, v AS peer FROM und
+  UNION ALL SELECT v AS node, u AS peer FROM und
+  UNION ALL SELECT doc_id AS node, doc_id AS peer FROM t
+),
+l0 AS (SELECT doc_id AS node, doc_id AS label FROM t)"""
+    ]
+    for i in range(1, LPA_ITER + 1):
+        parts.append(
+            f"""v{i} AS (
+  SELECT n.node, l.label, count(*) AS c
+  FROM nbr n JOIN l{i - 1} l ON n.peer = l.node
+  GROUP BY n.node, l.label
+),
+w{i} AS (
+  SELECT node, label
+  FROM v{i}
+  QUALIFY row_number() OVER (
+    PARTITION BY node ORDER BY c DESC, label ASC) = 1
+),
+l{i} AS (
+  SELECT p.node, COALESCE(w.label, p.label) AS label
+  FROM l{i - 1} p LEFT JOIN w{i} w ON p.node = w.node
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT node AS doc_id, label AS community
+FROM l{LPA_ITER}
+ORDER BY doc_id
+"""
+
+
+LABEL_PROPAGATION_SQL = _lpa_sql()

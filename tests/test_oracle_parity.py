@@ -25,6 +25,7 @@ FAST_QUERIES = [
     "tfidf_cosine_topk",
     "pagerank",
     "triangle_count",
+    "label_propagation",
     "blocking_quality",
     "bcubed_quality",
     "incremental_linkage",
@@ -37,6 +38,7 @@ FAST_QUERIES = [
     "funnel_conversion",
     "retention_cohorts",
     "leakage_safe_split",
+    "domain_posterior_scores",
     "click_attribution_asof",
     "length_quantiles",
     "vocab_hll_registers",

@@ -23,7 +23,8 @@ import os
 import subprocess
 import sys
 
-_OPS = ["triangle_count", "pagerank", "incremental_linkage"]
+_OPS = ["triangle_count", "pagerank", "incremental_linkage",
+        "label_propagation"]
 
 _CHILD = r"""
 import json, os, sys, time
@@ -40,6 +41,7 @@ _FNS = {
     "triangle_count": linkgraph.triangle_count,
     "pagerank": linkgraph.pagerank,
     "incremental_linkage": incremental.incremental_linkage,
+    "label_propagation": linkgraph.label_propagation,
 }
 density = int(os.environ.get("GRAPH_DENSITY", "0"))
 if density:

@@ -25,7 +25,8 @@ import subprocess
 import sys
 
 _EVENT_OPS = ["event_sessions", "funnel_conversion", "retention_cohorts"]
-_DOC_OPS = ["survivorship", "snapshot_diff", "prefix_jaccard_join"]
+_DOC_OPS = ["survivorship", "snapshot_diff", "prefix_jaccard_join",
+            "fs_pair_posteriors", "domain_posterior_scores"]
 
 _CHILD = r"""
 import json, os, sys, time
@@ -37,7 +38,8 @@ os.environ.setdefault(
 )
 from biomedical_entity_linking_spark.session import get_spark
 from biomedical_entity_linking_spark.operators import (
-    events_analytics, setjoin, survivorship, weburl)
+    events_analytics, fellegi_sunter, setjoin, survivorship, text_analysis,
+    weburl)
 
 _FNS = {
     "event_sessions": events_analytics.event_sessions,
@@ -46,6 +48,8 @@ _FNS = {
     "survivorship": survivorship.survivorship,
     "snapshot_diff": weburl.snapshot_diff,
     "prefix_jaccard_join": setjoin.prefix_jaccard_join,
+    "fs_pair_posteriors": fellegi_sunter.fs_pair_posteriors,
+    "domain_posterior_scores": text_analysis.domain_posterior_scores,
 }
 parts = int(os.environ.get("DEDUP_BENCH_PARTS", "64"))
 spark = get_spark(app_name=f"newops{cpus}", cores=cpus,
