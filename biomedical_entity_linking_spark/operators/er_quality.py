@@ -184,11 +184,11 @@ per_item AS (
   JOIN osz USING (cell, label)
 )
 SELECT CAST(count(*) AS BIGINT) AS n_items,
-       sum(p_ppm) // count(*) AS bcubed_precision_ppm,
-       sum(r_ppm) // count(*) AS bcubed_recall_ppm,
-       2 * (sum(p_ppm) // count(*)) * (sum(r_ppm) // count(*))
+       CAST(sum(p_ppm) // count(*) AS BIGINT) AS bcubed_precision_ppm,
+       CAST(sum(r_ppm) // count(*) AS BIGINT) AS bcubed_recall_ppm,
+       CAST(2 * (sum(p_ppm) // count(*)) * (sum(r_ppm) // count(*))
          // ((sum(p_ppm) // count(*)) + (sum(r_ppm) // count(*)))
-         AS bcubed_f1_ppm
+         AS BIGINT) AS bcubed_f1_ppm
 FROM per_item
 """
 
@@ -198,11 +198,16 @@ def _scheme_sql(bits: int) -> str:
 SELECT {bits} AS scheme_bits,
        n_items,
        n_items * (n_items - 1) // 2 AS total_pairs,
-       cand_pairs, gold_pairs, true_cand_pairs,
-       (n_items * (n_items - 1) // 2 - cand_pairs) * {_PPM}
-         // (n_items * (n_items - 1) // 2) AS reduction_ratio_ppm,
-       true_cand_pairs * {_PPM} // gold_pairs AS completeness_ppm,
-       true_cand_pairs * {_PPM} // cand_pairs AS quality_ppm
+       CAST(cand_pairs AS BIGINT) AS cand_pairs,
+       CAST(gold_pairs AS BIGINT) AS gold_pairs,
+       CAST(true_cand_pairs AS BIGINT) AS true_cand_pairs,
+       CAST((n_items * (n_items - 1) // 2 - cand_pairs) * {_PPM}
+         // (n_items * (n_items - 1) // 2) AS BIGINT)
+         AS reduction_ratio_ppm,
+       CAST(true_cand_pairs * {_PPM} // gold_pairs AS BIGINT)
+         AS completeness_ppm,
+       CAST(true_cand_pairs * {_PPM} // cand_pairs AS BIGINT)
+         AS quality_ppm
 FROM n, gold,
   (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS cand_pairs FROM
    (SELECT CAST(count(*) AS BIGINT) AS c FROM e

@@ -99,7 +99,7 @@ sess AS (
                         ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM flagged
 )
-SELECT user_id, session_idx,
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        CAST(count(*) AS BIGINT) AS n_events,
        min(us) AS start_us, max(us) AS end_us,
        max(us) - min(us) AS dur_us,

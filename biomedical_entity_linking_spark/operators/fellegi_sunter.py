@@ -120,11 +120,9 @@ def _gamma_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _gamma_pairs(spark, sf_dir)
-        .groupBy("g_text", "g_lang", "g_source")
-        .agg(F.count("*").alias("n_pairs"))
+def _pattern_counts(gamma: DataFrame) -> DataFrame:
+    return gamma.groupBy("g_text", "g_lang", "g_source").agg(
+        F.count("*").alias("n_pairs")
     )
 
 
@@ -183,9 +181,9 @@ def _em(
     return lam, m, u, _e_step(patterns, lam, m, u)
 
 
-def _fit(spark: SparkSession, sf_dir: str):
-    pat_rows = _pattern_counts(spark, sf_dir).collect()  # ≤ 2^K rows,
-    # bounded by the comparison-space cardinality, never by the data
+def _fit(gamma: DataFrame):
+    pat_rows = _pattern_counts(gamma).collect()  # ≤ 2^K rows, bounded
+    # by the comparison-space cardinality, never by the data
     patterns = sorted(
         ((r["g_text"], r["g_lang"], r["g_source"]), r["n_pairs"])
         for r in pat_rows
@@ -215,7 +213,7 @@ def fs_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → one row per observed γ-pattern: count, posterior
     match responsibility, and the converged (λ, m_k, u_k) — all integer
     micro-units (divide by SCALE for probabilities)."""
-    lam, m, u, rows = _fit(spark, sf_dir)
+    lam, m, u, rows = _fit(_gamma_pairs(spark, sf_dir))
     out = [
         (g[0], g[1], g[2], n, resp, lam, m[0], u[0], m[1], u[1], m[2], u[2])
         for g, n, resp in rows
@@ -231,8 +229,12 @@ def fs_pair_posteriors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The per-pattern posterior is a ≤ 2^K-row broadcast joined onto the
     blocked pair relation: the pairs are scored by ONE hash lookup, no
-    re-scoring pass, no driver round-trip of pair rows."""
-    _, _, _, rows = _fit(spark, sf_dir)
+    re-scoring pass, no driver round-trip of pair rows. The γ relation
+    is persisted so the blocked self-join runs ONCE — the EM's pattern
+    aggregation and the posterior rejoin both read the materialized
+    pairs (measured: the un-persisted form paid the join twice)."""
+    gamma = _gamma_pairs(spark, sf_dir).persist()
+    _, _, _, rows = _fit(gamma)
     resp_rel = spark.createDataFrame(
         [(g[0], g[1], g[2], resp) for g, _, resp in rows],
         T.StructType(
@@ -245,8 +247,7 @@ def fs_pair_posteriors(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        _gamma_pairs(spark, sf_dir)
-        .join(F.broadcast(resp_rel), ["g_text", "g_lang", "g_source"])
+        gamma.join(F.broadcast(resp_rel), ["g_text", "g_lang", "g_source"])
         .filter(F.col("match_resp_q") >= SCALE // 2)
         .select(
             "id_a", "id_b", "g_text", "g_lang", "g_source", "match_resp_q"

@@ -173,7 +173,7 @@ outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
 base AS (SELECT doc_id, ({RANK_SCALE} // n_docs) AS base_q FROM t, n_rel),
 it0 AS (SELECT doc_id, base_q AS rank_q FROM base),
 {iters}
-SELECT doc_id, rank_q FROM it{N_ITER}
+SELECT doc_id, CAST(rank_q AS BIGINT) AS rank_q FROM it{N_ITER}
 ORDER BY rank_q DESC, doc_id ASC
 """
 

@@ -807,7 +807,13 @@ def _domain_scores(docs: DataFrame, ref_col) -> DataFrame:
         F.explode(_tokens(F.col("text"))).alias("token"),
     )
     model = (
-        toks.groupBy("token")
+        # repartition-first before the vocabulary-keyed count — the
+        # measured vocab_topk lesson (text_analysis.vocab_topk docstring):
+        # an unbounded map-side combine map over 10^7+ distinct tokens
+        # GC-churns at high core counts; hash-partitioning the stream
+        # first bounds every count map at distinct/partitions entries
+        toks.repartition(F.col("token"))
+        .groupBy("token")
         .agg(
             F.sum("is_ref").alias("c_ref"),
             F.count("*").alias("c_tot"),

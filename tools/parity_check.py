@@ -27,6 +27,13 @@ def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(6)
+            # duckdb's .df() renders HUGEINT (int128 sums) as float64;
+            # fold integral floats back to int64 so the repr-hash agrees
+            # with Spark's genuine int64 columns (applies symmetrically
+            # to both frames; non-integral float columns are untouched)
+            vals = df[c].dropna()
+            if len(vals) and (vals == vals.astype("int64")).all() and not df[c].isna().any():
+                df[c] = df[c].astype("int64")
         # normalize ints to int64 where possible
         if pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
