@@ -36,6 +36,7 @@ from biomedical_entity_linking_spark.operators import tfidf as TI
 from biomedical_entity_linking_spark.operators import asof as AO
 from biomedical_entity_linking_spark.operators import er_quality as EQ
 from biomedical_entity_linking_spark.operators import fellegi_sunter as FS
+from biomedical_entity_linking_spark.operators import phonetic_blocking as PH
 from biomedical_entity_linking_spark.operators import incremental as IC
 from biomedical_entity_linking_spark.operators import linkgraph as LG
 from biomedical_entity_linking_spark.operators import weburl as WU
@@ -504,6 +505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Fellegi–Sunter probabilistic linkage (EM-estimated weights)
         "fs_em_weights": FS.fs_em_weights,
         "fs_pair_posteriors": FS.fs_pair_posteriors,
+        # phonetic keys + multi-rule blocking plan evaluation
+        "multipass_blocking": PH.multipass_blocking,
         # similarity search + labeled-candidate evaluation
         "cosine_topk": SIM.cosine_topk,
         "ivf_topk": SIM.ivf_topk,
@@ -584,6 +587,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_jaccard_join": SJ.PREFIX_JACCARD_SQL,
         "fs_em_weights": FS.FS_EM_WEIGHTS_SQL,
         "fs_pair_posteriors": FS.FS_PAIR_POSTERIORS_SQL,
+        "multipass_blocking": PH.MULTIPASS_BLOCKING_SQL,
         "cosine_topk": SIM.COSINE_TOPK_SQL,
         "ivf_topk": SIM.IVF_TOPK_SQL,
         "proto_topk": SIM.PROTO_TOPK_SQL,
