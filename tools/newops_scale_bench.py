@@ -26,7 +26,8 @@ import sys
 
 _EVENT_OPS = ["event_sessions", "funnel_conversion", "retention_cohorts"]
 _DOC_OPS = ["survivorship", "snapshot_diff", "prefix_jaccard_join",
-            "fs_pair_posteriors", "domain_posterior_scores"]
+            "fs_pair_posteriors", "domain_posterior_scores",
+            "multipass_blocking"]
 
 _CHILD = r"""
 import json, os, sys, time
@@ -38,8 +39,8 @@ os.environ.setdefault(
 )
 from biomedical_entity_linking_spark.session import get_spark
 from biomedical_entity_linking_spark.operators import (
-    events_analytics, fellegi_sunter, setjoin, survivorship, text_analysis,
-    weburl)
+    events_analytics, fellegi_sunter, phonetic_blocking, setjoin,
+    survivorship, text_analysis, weburl)
 
 _FNS = {
     "event_sessions": events_analytics.event_sessions,
@@ -50,6 +51,7 @@ _FNS = {
     "prefix_jaccard_join": setjoin.prefix_jaccard_join,
     "fs_pair_posteriors": fellegi_sunter.fs_pair_posteriors,
     "domain_posterior_scores": text_analysis.domain_posterior_scores,
+    "multipass_blocking": phonetic_blocking.multipass_blocking,
 }
 parts = int(os.environ.get("DEDUP_BENCH_PARTS", "64"))
 spark = get_spark(app_name=f"newops{cpus}", cores=cpus,
