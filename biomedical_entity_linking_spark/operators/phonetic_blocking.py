@@ -112,23 +112,11 @@ _RULES = ("k_prefix", "k_soundex", "k_langlen")
 from .er_quality import _pair_sum  # the Σ c·(c−1)/2 one-row relation
 
 
-def multipass_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → one row per blocking rule + one 'union' row:
-    (scheme, cand_pairs, true_pairs, gold_pairs, completeness_ppm,
-    quality_ppm). Union counts are EXACT distinct-pair counts via
-    inclusion–exclusion over compound-key pair-sums."""
-    keyed = _keyed(spark, sf_dir)
-
-    # ALL 15 pair-sums (7 rule combos × {with, without} the gold key +
-    # the gold denominator) in ONE pass over the corpus: GROUPING SETS
-    # expands each input row once per set and a single map-side-
-    # combinable aggregation counts every (set, group) — one scan + one
-    # shuffle prices the whole blocking plan, vs 15 sequential
-    # aggregation passes (measured 8.9 s → ~2 s at sf0.1; at 10^12
-    # rows the 15× scan saving is the difference between feasible and
-    # not). The pair-sum second stage runs over the tiny (gid, group)
-    # count relation. Collecting the 15-row result is the same O(1)
-    # driver read as chi²'s crosstab.
+def _grouping_layout() -> tuple[list[tuple[str, ...]], list[str],
+                                list[tuple[str, ...]]]:
+    """(combos, all_cols, sets) for the 15-set GROUPING SETS layout:
+    7 rule combos × {with, without} the gold key + the gold
+    denominator. Deterministic from ``_RULES``."""
     from itertools import combinations
 
     combos = [
@@ -146,17 +134,36 @@ def multipass_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # first-appearance order across the sets — lead with the full
     # 4-column set (it's one of the 15 anyway) so that order IS all_cols
     sets.sort(key=len, reverse=True)
+    return combos, all_cols, sets
 
-    def _gid(keys: tuple[str, ...]) -> int:
-        # Spark grouping_id(): leftmost arg = highest bit, bit set when
-        # the column is AGGREGATED (absent from the grouping set)
-        n = len(all_cols)
-        return sum(
-            1 << (n - 1 - i)
-            for i, c in enumerate(all_cols)
-            if c not in keys
-        )
 
+def _gid_of(all_cols: list[str], keys: tuple[str, ...]) -> int:
+    # Spark grouping_id(): leftmost arg = highest bit, bit set when
+    # the column is AGGREGATED (absent from the grouping set)
+    n = len(all_cols)
+    return sum(
+        1 << (n - 1 - i)
+        for i, c in enumerate(all_cols)
+        if c not in keys
+    )
+
+
+def multipass_gid_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed core of ``multipass_blocking``: the 15-row
+    (gid, v) relation of compound-key pair-sums Σ c·(c−1)/2, one per
+    grouping set.
+
+    ALL 15 pair-sums in ONE pass over the corpus: GROUPING SETS
+    expands each input row once per set and a single map-side-
+    combinable aggregation counts every (set, group) — one scan + one
+    shuffle prices the whole blocking plan, vs 15 sequential
+    aggregation passes (measured 8.9 s → ~2 s at sf0.1; at 10^12 rows
+    the 15× scan saving is the difference between feasible and not).
+    The pair-sum second stage runs over the tiny (gid, group) count
+    relation. Plan-audited in EXPLAIN.md (Expand + HashAggregate, no
+    Python)."""
+    keyed = _keyed(spark, sf_dir)
+    _, all_cols, sets = _grouping_layout()
     view = f"mpb_keyed_{id(keyed) & 0xFFFF}"
     keyed.createOrReplaceTempView(view)
     sets_sql = ", ".join(
@@ -166,16 +173,28 @@ def multipass_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT grouping_id({', '.join(all_cols)}) AS gid, count(*) AS c"
         f" FROM {view} GROUP BY GROUPING SETS ({sets_sql})"
     )
-    sums = (
-        counts.groupBy("gid")
-        .agg(
-            F.coalesce(
-                F.sum(F.expr("c * (c - 1) div 2")), F.lit(0)
-            ).alias("v")
-        )
-        .collect()
-    )
     spark.catalog.dropTempView(view)
+    return counts.groupBy("gid").agg(
+        F.coalesce(
+            F.sum(F.expr("c * (c - 1) div 2")), F.lit(0)
+        ).alias("v")
+    )
+
+
+def multipass_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → one row per blocking rule + one 'union' row:
+    (scheme, cand_pairs, true_pairs, gold_pairs, completeness_ppm,
+    quality_ppm). Union counts are EXACT distinct-pair counts via
+    inclusion–exclusion over compound-key pair-sums; the distributed
+    work is ``multipass_gid_sums`` (one GROUPING SETS scan).
+    Collecting its 15-row result is the same O(1) driver read as
+    chi²'s crosstab."""
+    combos, all_cols, sets = _grouping_layout()
+
+    def _gid(keys: tuple[str, ...]) -> int:
+        return _gid_of(all_cols, keys)
+
+    sums = multipass_gid_sums(spark, sf_dir).collect()
     by_gid = {r["gid"]: r["v"] for r in sums}
     vals = {ks: by_gid.get(_gid(ks), 0) for ks in sets}
 
