@@ -480,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": TA.pii_scrub,
         "leakage_safe_split": TA.leakage_safe_split,
         "domain_posterior_scores": TA.domain_posterior_scores,
+        "lm_fluency": TA.lm_fluency,
         # web-crawl key canonicalization
         "pair_scores": SS.pair_scores,
         "tfidf_cosine_topk": TI.tfidf_cosine_topk,
@@ -565,6 +566,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": TA.PII_SCRUB_SQL,
         "leakage_safe_split": TA.LEAKAGE_SAFE_SPLIT_SQL,
         "domain_posterior_scores": TA.DOMAIN_POSTERIOR_SQL,
+        "lm_fluency": TA.LM_FLUENCY_SQL,
         "pair_scores": SS.PAIR_SCORES_SQL,
         "tfidf_cosine_topk": TI.TFIDF_COSINE_TOPK_SQL,
         "pagerank": LG.PAGERANK_SQL,

@@ -40,6 +40,7 @@ FAST_QUERIES = [
     "retention_cohorts",
     "leakage_safe_split",
     "domain_posterior_scores",
+    "lm_fluency",
     "click_attribution_asof",
     "length_quantiles",
     "vocab_hll_registers",

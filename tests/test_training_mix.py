@@ -147,3 +147,33 @@ def test_leakage_safe_split_no_cluster_straddles(spark):
     # all three splits materialize and cover every doc exactly once
     assert set(out.split) == {"train", "val", "test"}
     assert out.doc_id.is_unique and len(out) == 500
+
+
+def test_lm_fluency_separates_fluent_from_garbled(spark):
+    """Power test for lm_fluency (the driver corpus draws tokens i.i.d.
+    so the oracle hash only certifies the mechanism): fluent docs (the
+    reference bigram pattern) must beat deterministically garbled docs
+    (same token multiset, adjacency destroyed) on BOTH statistics."""
+    from biomedical_entity_linking_spark.operators.text_analysis import (
+        _lm_fluency_core,
+    )
+
+    sent = "the cat sat on the mat and the dog ran to the cat".split()
+    rows = [(i, " ".join(sent), "en") for i in range(20)]
+    rows += [(100 + i, " ".join(sent), "xx") for i in range(5)]  # fluent
+    rows += [(200 + i, " ".join(sorted(sent)), "xx") for i in range(5)]  # garbled
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = _lm_fluency_core(docs).toPandas().set_index("doc_id")
+    fluent = out.loc[100:104]
+    garbled = out.loc[200:204]
+    # fluent bigrams all exist in the reference model
+    assert int(fluent["oov_bigrams"].max()) == 0
+    assert int(garbled["oov_bigrams"].min()) > 0
+    assert int(fluent["mean_prob_micro"].min()) > int(
+        garbled["mean_prob_micro"].max()
+    )
+    assert int(fluent["bits_per_bigram_micro"].max()) < int(
+        garbled["bits_per_bigram_micro"].min()
+    )
+    # scored relation covers every >=2-token doc exactly once
+    assert len(out) == 30
