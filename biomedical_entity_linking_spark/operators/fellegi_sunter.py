@@ -390,3 +390,75 @@ JOIN efinal e
 WHERE e.resp >= {SCALE // 2}
 ORDER BY id_a, id_b
 """
+
+
+# ---------------------------------------------------------------------------
+# active-learning pair selection (uncertainty sampling over the posterior)
+# ---------------------------------------------------------------------------
+
+FS_LABEL_BUDGET = 50  # pairs surfaced per labeling round
+
+
+def fs_uncertain_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → the ``FS_LABEL_BUDGET`` candidate pairs whose converged
+    Fellegi–Sunter posterior sits CLOSEST to 1/2 — uncertainty-sampling
+    active learning (Settles 2009; the dedupe.io / Magellan labeling
+    loop): each human label should go where the model is least sure, so
+    the next EM round (with those pairs clamped) moves the decision
+    boundary fastest.
+
+    ``unc_q = |match_resp_q − SCALE/2|`` in the same integer micro-units
+    as the EM itself — exact, order-independent. Global deterministic
+    top-k: ORDER BY (unc_q, id_a, id_b) LIMIT k, which Spark plans as
+    TakeOrderedAndProject — a per-partition heap of k rows then a k-row
+    driver merge, NO global sort shuffle, safe at any pair count. The
+    posterior lookup is the same ≤ 2^K-row broadcast as
+    ``fs_pair_posteriors``; nothing new shuffles.
+
+    Reference analog: none (the reference links against a fixed
+    ontology; labeling-loop tooling is part of the grafted ER tier)."""
+    gamma = _gamma_pairs(spark, sf_dir).persist()
+    _, _, _, rows = _fit(gamma)
+    resp_rel = spark.createDataFrame(
+        [(g[0], g[1], g[2], resp) for g, _, resp in rows],
+        T.StructType(
+            [
+                T.StructField("g_text", T.IntegerType(), False),
+                T.StructField("g_lang", T.IntegerType(), False),
+                T.StructField("g_source", T.IntegerType(), False),
+                T.StructField("match_resp_q", T.LongType(), False),
+            ]
+        ),
+    )
+    half = SCALE // 2
+    return (
+        gamma.join(F.broadcast(resp_rel), ["g_text", "g_lang", "g_source"])
+        .select(
+            "id_a",
+            "id_b",
+            "g_text",
+            "g_lang",
+            "g_source",
+            "match_resp_q",
+            F.abs(F.col("match_resp_q") - F.lit(half)).alias("unc_q"),
+        )
+        .orderBy("unc_q", "id_a", "id_b")
+        .limit(FS_LABEL_BUDGET)
+    )
+
+
+FS_UNCERTAIN_PAIRS_SQL = f"""
+WITH {_em_sql()}
+SELECT g.id_a, g.id_b,
+       CAST(g.g_text AS INT) AS g_text,
+       CAST(g.g_lang AS INT) AS g_lang,
+       CAST(g.g_source AS INT) AS g_source,
+       CAST(e.resp AS BIGINT) AS match_resp_q,
+       CAST(abs(e.resp - {SCALE // 2}) AS BIGINT) AS unc_q
+FROM gpairs g
+JOIN efinal e
+  ON g.g_text = e.g_text AND g.g_lang = e.g_lang
+ AND g.g_source = e.g_source
+ORDER BY unc_q, id_a, id_b
+LIMIT {FS_LABEL_BUDGET}
+"""

@@ -32,6 +32,7 @@ FAST_QUERIES = [
     "prefix_jaccard_join",
     "fs_em_weights",
     "fs_pair_posteriors",
+    "fs_uncertain_pairs",
     "multipass_blocking",
     "snapshot_diff",
     "survivorship",
