@@ -30,6 +30,7 @@ FAST_QUERIES = [
     "bcubed_quality",
     "incremental_linkage",
     "prefix_jaccard_join",
+    "edit_distance_join",
     "fs_em_weights",
     "fs_pair_posteriors",
     "fs_uncertain_pairs",
