@@ -30,6 +30,7 @@ from biomedical_entity_linking_spark.operators import similarity as SIM
 from biomedical_entity_linking_spark.operators import text_analysis as TA
 from biomedical_entity_linking_spark.operators import setjoin as SJ
 from biomedical_entity_linking_spark.operators import editjoin as EJ
+from biomedical_entity_linking_spark.operators import ml_features as MLF
 from biomedical_entity_linking_spark.operators import sketch as SK
 from biomedical_entity_linking_spark.operators import string_scores as SS
 from biomedical_entity_linking_spark.operators import survivorship as SV
@@ -506,6 +507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_jaccard_join": SJ.prefix_jaccard_join,
         # exact bounded-edit-distance self-join (segment pigeonhole)
         "edit_distance_join": EJ.edit_distance_join,
+        # candidate-pair ML feature-table export (Magellan/Splink shape)
+        "pair_features": MLF.pair_features,
         # Fellegi–Sunter probabilistic linkage (EM-estimated weights)
         "fs_em_weights": FS.fs_em_weights,
         "fs_pair_posteriors": FS.fs_pair_posteriors,
@@ -592,6 +595,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": D.NEARDUP_CLUSTERS_SQL,
         "prefix_jaccard_join": SJ.PREFIX_JACCARD_SQL,
         "edit_distance_join": EJ.EDIT_DISTANCE_JOIN_SQL,
+        "pair_features": MLF.PAIR_FEATURES_SQL,
         "fs_em_weights": FS.FS_EM_WEIGHTS_SQL,
         "fs_pair_posteriors": FS.FS_PAIR_POSTERIORS_SQL,
         "fs_uncertain_pairs": FS.FS_UNCERTAIN_PAIRS_SQL,

@@ -31,6 +31,7 @@ FAST_QUERIES = [
     "incremental_linkage",
     "prefix_jaccard_join",
     "edit_distance_join",
+    "pair_features",
     "fs_em_weights",
     "fs_pair_posteriors",
     "fs_uncertain_pairs",
