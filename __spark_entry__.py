@@ -491,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": LG.label_propagation,
         "blocking_quality": EQ.blocking_quality,
         "bcubed_quality": EQ.bcubed_quality,
+        "ari_quality": EQ.ari_quality,
         "incremental_linkage": IC.incremental_linkage,
         "survivorship": SV.survivorship,
         "click_attribution_asof": AO.click_attribution_asof,
@@ -581,6 +582,7 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": LG.LABEL_PROPAGATION_SQL,
         "blocking_quality": EQ.BLOCKING_QUALITY_SQL,
         "bcubed_quality": EQ.BCUBED_QUALITY_SQL,
+        "ari_quality": EQ.ARI_QUALITY_SQL,
         "incremental_linkage": IC.INCREMENTAL_LINKAGE_SQL,
         "survivorship": SV.SURVIVORSHIP_SQL,
         "click_attribution_asof": AO.CLICK_ATTRIBUTION_ASOF_SQL,

@@ -41,7 +41,7 @@ summation anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .similarity import _CELL8_SQL, _cell8_expr
@@ -227,4 +227,173 @@ gold AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS gold_pairs FROM
          (SELECT CAST(count(*) AS BIGINT) AS c FROM e GROUP BY label))
 {" UNION ALL ".join(_scheme_sql(b) for b in _SCHEME_BITS)}
 ORDER BY scheme_bits DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rand / Adjusted-Rand agreement between two clusterings (contingency-based)
+# ---------------------------------------------------------------------------
+
+_ARI_PPM = 1_000_000
+
+
+def ari_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → ONE row: Rand index + Adjusted Rand Index (Hubert &
+    Arabie 1985) between a SYSTEM clustering and gold, from the
+    contingency table alone — pairs NEVER materialized.
+
+    ``bcubed_quality`` is the item-weighted view of cluster agreement;
+    this is the pair-counting view every clustering paper reports
+    beside it. The documents table's natural keys are degenerate for
+    pair counting (no exact-dup texts → every gold pair count is 0),
+    so like ``setjoin``/``editjoin``/``linkgraph`` the two clusterings
+    are SYNTHESIZED deterministically from doc_id and mirrored
+    verbatim in the oracle — the hash certifies the CONTINGENCY
+    pipeline, not the generator: gold = doc_id div 4 (clusters of 4);
+    system = gold corrupted BOTH ways — gold clusters 5k and 5k+1
+    merge (sys over-merge), and every doc_id ≡ 3 (mod 8) splits into
+    its own singleton (sys over-split).
+
+    All pair counts are the integer identity Σ c·(c−1)/2 over the
+    CONTINGENCY relation (one groupBy keyed by (sys, gold) — bounded
+    by cluster-pair cardinality, ≪ items); the marginal sums come off
+    that same relation via two window sums + first-row conditional
+    aggregation, so the whole metric is ONE shuffle on the contingency
+    key plus two bounded windows. RI = (T + 2·Σij − Σa − Σb) / T and
+    the ARI ratio are emitted in ppm; the cross-products T·Σij etc.
+    are widened to decimal(38,0) (Spark) / HUGEINT (DuckDB oracle) —
+    int64 would overflow past ~4.3e9 items — and the signed ppm
+    division is SIGN-SPLIT (negate, divide non-negatives, negate back)
+    because the engines disagree on negative integer division. At
+    100 TB the only caveat is contingency-key width: bigint keys here;
+    hash long string cluster keys (xxhash64 pair) first.
+
+    Reference analog: ``eval_cluster_linking.py`` reports pairwise
+    P/R/F1 of predicted vs gold clusters — the same pair-counting
+    family; RI/ARI add the chance-corrected summary statistic.
+    """
+    gold = F.expr("doc_id div 4")
+    merged = F.when(gold % 5 < 2, gold - (gold % 5)).otherwise(gold)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.when(
+            F.col("doc_id") % 8 == 3, F.lit(1_000_000_000) + F.col("doc_id")
+        )
+        .otherwise(merged)
+        .alias("sys"),
+        gold.alias("gold"),
+    )
+    cont = docs.groupBy("sys", "gold").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_sys = Window.partitionBy("sys")
+    w_gold = Window.partitionBy("gold")
+    cont2 = cont.select(
+        "c",
+        F.sum("c").over(w_sys).alias("n_sys"),
+        F.sum("c").over(w_gold).alias("n_gold"),
+        F.row_number()
+        .over(Window.partitionBy("sys").orderBy("gold"))
+        .alias("rn_sys"),
+        F.row_number()
+        .over(Window.partitionBy("gold").orderBy("sys"))
+        .alias("rn_gold"),
+    )
+    agg = cont2.agg(
+        F.sum("c").alias("n_items"),
+        F.sum(F.expr("c * (c - 1) div 2")).alias("p_both"),
+        F.sum(
+            F.when(F.col("rn_sys") == 1, F.expr("n_sys * (n_sys - 1) div 2"))
+        ).alias("p_sys"),
+        F.sum(
+            F.when(
+                F.col("rn_gold") == 1, F.expr("n_gold * (n_gold - 1) div 2")
+            )
+        ).alias("p_gold"),
+    )
+    dec = "decimal(38,0)"
+    return agg.select(
+        "n_items",
+        F.expr("n_items * (n_items - 1) div 2").alias("t_pairs"),
+        "p_sys",
+        "p_gold",
+        "p_both",
+    ).select(
+        "n_items",
+        "t_pairs",
+        "p_sys",
+        "p_gold",
+        "p_both",
+        F.expr(
+            f"cast((cast(t_pairs as {dec}) + 2 * cast(p_both as {dec})"
+            f" - cast(p_sys as {dec}) - cast(p_gold as {dec}))"
+            f" * {_ARI_PPM} div cast(t_pairs as {dec}) as bigint)"
+        ).alias("ri_ppm"),
+        F.expr(
+            f"""cast(CASE WHEN
+              2 * (cast(t_pairs as {dec}) * cast(p_both as {dec})
+                   - cast(p_sys as {dec}) * cast(p_gold as {dec})) >= 0
+            THEN 2 * (cast(t_pairs as {dec}) * cast(p_both as {dec})
+                      - cast(p_sys as {dec}) * cast(p_gold as {dec}))
+                 * {_ARI_PPM}
+                 div (cast(t_pairs as {dec})
+                      * (cast(p_sys as {dec}) + cast(p_gold as {dec}))
+                      - 2 * cast(p_sys as {dec}) * cast(p_gold as {dec}))
+            ELSE -((2 * (cast(p_sys as {dec}) * cast(p_gold as {dec})
+                         - cast(t_pairs as {dec}) * cast(p_both as {dec})))
+                   * {_ARI_PPM}
+                   div (cast(t_pairs as {dec})
+                        * (cast(p_sys as {dec}) + cast(p_gold as {dec}))
+                        - 2 * cast(p_sys as {dec}) * cast(p_gold as {dec})))
+            END as bigint)"""
+        ).alias("ari_ppm"),
+    )
+
+
+ARI_QUALITY_SQL = f"""
+WITH docs AS (
+  SELECT CASE WHEN doc_id % 8 = 3 THEN 1000000000 + doc_id
+              WHEN (doc_id // 4) % 5 < 2
+                THEN (doc_id // 4) - ((doc_id // 4) % 5)
+              ELSE doc_id // 4 END AS sys,
+         doc_id // 4 AS gold
+  FROM documents
+),
+cont AS (
+  SELECT sys, gold, CAST(count(*) AS BIGINT) AS c
+  FROM docs GROUP BY sys, gold
+),
+cont2 AS (
+  SELECT c,
+         sum(c) OVER (PARTITION BY sys) AS n_sys,
+         sum(c) OVER (PARTITION BY gold) AS n_gold,
+         row_number() OVER (PARTITION BY sys ORDER BY gold) AS rn_sys,
+         row_number() OVER (PARTITION BY gold ORDER BY sys) AS rn_gold
+  FROM cont
+),
+agg AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_items,
+         CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) AS p_both,
+         CAST(coalesce(sum(CASE WHEN rn_sys = 1
+                 THEN n_sys * (n_sys - 1) // 2 END), 0) AS BIGINT) AS p_sys,
+         CAST(coalesce(sum(CASE WHEN rn_gold = 1
+                 THEN n_gold * (n_gold - 1) // 2 END), 0) AS BIGINT) AS p_gold
+  FROM cont2
+),
+wide AS (
+  SELECT n_items,
+         CAST(n_items * (n_items - 1) // 2 AS BIGINT) AS t_pairs,
+         p_sys, p_gold, p_both,
+         CAST(t AS HUGEINT) AS th, CAST(p_sys AS HUGEINT) AS ah,
+         CAST(p_gold AS HUGEINT) AS bh, CAST(p_both AS HUGEINT) AS ih
+  FROM (SELECT *, n_items * (n_items - 1) // 2 AS t FROM agg)
+)
+SELECT n_items, t_pairs, p_sys, p_gold, p_both,
+       CAST((th + 2 * ih - ah - bh) * {_ARI_PPM} // th AS BIGINT) AS ri_ppm,
+       CAST(CASE WHEN 2 * (th * ih - ah * bh) >= 0
+         THEN 2 * (th * ih - ah * bh) * {_ARI_PPM}
+              // (th * (ah + bh) - 2 * ah * bh)
+         ELSE -((2 * (ah * bh - th * ih)) * {_ARI_PPM}
+                // (th * (ah + bh) - 2 * ah * bh))
+       END AS BIGINT) AS ari_ppm
+FROM wide
 """

@@ -32,6 +32,7 @@ FAST_QUERIES = [
     "prefix_jaccard_join",
     "edit_distance_join",
     "pair_features",
+    "ari_quality",
     "fs_em_weights",
     "fs_pair_posteriors",
     "fs_uncertain_pairs",
