@@ -494,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ari_quality": EQ.ari_quality,
         "incremental_linkage": IC.incremental_linkage,
         "survivorship": SV.survivorship,
+        "cluster_conflicts": SV.cluster_conflicts,
         "click_attribution_asof": AO.click_attribution_asof,
         "length_quantiles": TA.length_quantiles,
         "vocab_hll_registers": SK.vocab_hll_registers,
@@ -585,6 +586,7 @@ def oracle_sql() -> dict[str, str]:
         "ari_quality": EQ.ARI_QUALITY_SQL,
         "incremental_linkage": IC.INCREMENTAL_LINKAGE_SQL,
         "survivorship": SV.SURVIVORSHIP_SQL,
+        "cluster_conflicts": SV.CLUSTER_CONFLICTS_SQL,
         "click_attribution_asof": AO.CLICK_ATTRIBUTION_ASOF_SQL,
         "length_quantiles": TA.LENGTH_QUANTILES_SQL,
         "vocab_hll_registers": SK.VOCAB_HLL_REGISTERS_SQL,

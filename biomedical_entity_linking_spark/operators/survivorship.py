@@ -133,3 +133,113 @@ SELECT cluster_id, n_members, best_n_chars,
 FROM agg JOIN modal USING (norm) JOIN winner USING (norm)
 ORDER BY cluster_id
 """
+
+
+# ---------------------------------------------------------------------------
+# conflict detection — the audit table survivorship's rules resolve
+# ---------------------------------------------------------------------------
+
+_CONS_PPM = 1_000_000
+
+
+def cluster_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → one row per (cluster, attribute) where members
+    DISAGREE: the data-fusion conflict report read before trusting any
+    survivorship rule (Bleiholder & Naumann 2008's conflict
+    classification — this emits the "contradiction" class).
+
+    Same normalized-prefix clusters as ``survivorship`` — the two
+    compose: this table says WHERE the golden record had to choose,
+    survivorship says WHAT it chose. Columns: member count, distinct
+    conflicting values, the modal value with its count (the same
+    deterministic count-then-rank the survivorship frequency rule uses
+    — built-in ``mode()`` is tie-unstable on both engines), and a
+    consensus ratio in ppm.
+
+    Scale shape (100 TB): the three audited attributes unpivot via
+    ``stack`` (3 rows per doc, a per-row map fused into the scan);
+    then ONE hash shuffle keyed (cluster, attr, value) and two windows
+    over the coarser (cluster, attr) partitioning — Catalyst satisfies
+    both from the same exchange. Map-side combine bounds the shuffle
+    by value cardinality; no collect, no UDF, no join back to items.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.lower(F.substring("text", 1, NORM_LEN)).alias("norm"),
+        F.expr(
+            "stack(3, 'lang', lang, 'source', source,"
+            " 'n_chars', cast(n_chars as string)) as (attr, value)"
+        ),
+    )
+    counts = docs.groupBy("norm", "attr", "value").agg(
+        F.count("*").alias("vc"), F.min("doc_id").alias("min_id")
+    )
+    w = Window.partitionBy("norm", "attr")
+    ranked = counts.select(
+        "norm",
+        "attr",
+        "value",
+        "vc",
+        F.sum("vc").over(w).alias("n_rows"),
+        F.count("*").over(w).alias("n_distinct"),
+        F.min("min_id").over(w).alias("cluster_id"),
+        F.row_number()
+        .over(
+            Window.partitionBy("norm", "attr").orderBy(
+                F.col("vc").desc(), F.col("value").asc()
+            )
+        )
+        .alias("vr"),
+    )
+    return (
+        ranked.filter((F.col("vr") == 1) & (F.col("n_distinct") >= 2))
+        .select(
+            "cluster_id",
+            "attr",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            F.col("value").alias("top_value"),
+            F.col("vc").cast("bigint").alias("top_count"),
+            F.expr(f"(vc * {_CONS_PPM}) div n_rows").alias(
+                "consensus_ppm"
+            ),
+        )
+        .orderBy("cluster_id", "attr")
+    )
+
+
+CLUSTER_CONFLICTS_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, lower(substr(text, 1, {NORM_LEN})) AS norm, attr, value
+  FROM (
+    SELECT doc_id, text, 'lang' AS attr, lang AS value FROM documents
+    UNION ALL
+    SELECT doc_id, text, 'source', source FROM documents
+    UNION ALL
+    SELECT doc_id, text, 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+  )
+),
+counts AS (
+  SELECT norm, attr, value, CAST(count(*) AS BIGINT) AS vc,
+         min(doc_id) AS min_id
+  FROM docs GROUP BY norm, attr, value
+),
+ranked AS (
+  SELECT norm, attr, value, vc,
+         sum(vc) OVER (PARTITION BY norm, attr) AS n_rows,
+         count(*) OVER (PARTITION BY norm, attr) AS n_distinct,
+         min(min_id) OVER (PARTITION BY norm, attr) AS cluster_id,
+         row_number() OVER (PARTITION BY norm, attr
+                            ORDER BY vc DESC, value ASC) AS vr
+  FROM counts
+)
+SELECT cluster_id, attr,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       value AS top_value,
+       vc AS top_count,
+       CAST((vc * {_CONS_PPM}) // n_rows AS BIGINT) AS consensus_ppm
+FROM ranked
+WHERE vr = 1 AND n_distinct >= 2
+ORDER BY cluster_id, attr
+"""

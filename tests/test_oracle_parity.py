@@ -39,6 +39,7 @@ FAST_QUERIES = [
     "multipass_blocking",
     "snapshot_diff",
     "survivorship",
+    "cluster_conflicts",
     "event_sessions",
     "funnel_conversion",
     "retention_cohorts",
