@@ -27,7 +27,10 @@ import sys
 _EVENT_OPS = ["event_sessions", "funnel_conversion", "retention_cohorts"]
 _DOC_OPS = ["survivorship", "snapshot_diff", "prefix_jaccard_join",
             "fs_pair_posteriors", "domain_posterior_scores",
-            "multipass_blocking"]
+            "multipass_blocking",
+            # session-4 additions
+            "edit_distance_join", "pair_features", "ari_quality",
+            "cluster_conflicts"]
 
 _CHILD = r"""
 import json, os, sys, time
@@ -39,8 +42,8 @@ os.environ.setdefault(
 )
 from biomedical_entity_linking_spark.session import get_spark
 from biomedical_entity_linking_spark.operators import (
-    events_analytics, fellegi_sunter, phonetic_blocking, setjoin,
-    survivorship, text_analysis, weburl)
+    editjoin, er_quality, events_analytics, fellegi_sunter, ml_features,
+    phonetic_blocking, setjoin, survivorship, text_analysis, weburl)
 
 _FNS = {
     "event_sessions": events_analytics.event_sessions,
@@ -52,6 +55,10 @@ _FNS = {
     "fs_pair_posteriors": fellegi_sunter.fs_pair_posteriors,
     "domain_posterior_scores": text_analysis.domain_posterior_scores,
     "multipass_blocking": phonetic_blocking.multipass_blocking,
+    "edit_distance_join": editjoin.edit_distance_join,
+    "pair_features": ml_features.pair_features,
+    "ari_quality": er_quality.ari_quality,
+    "cluster_conflicts": survivorship.cluster_conflicts,
 }
 parts = int(os.environ.get("DEDUP_BENCH_PARTS", "64"))
 spark = get_spark(app_name=f"newops{cpus}", cores=cpus,
