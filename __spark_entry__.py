@@ -515,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_em_weights": FS.fs_em_weights,
         "fs_pair_posteriors": FS.fs_pair_posteriors,
         "fs_uncertain_pairs": FS.fs_uncertain_pairs,
+        "fs_mutual_match": FS.fs_mutual_match,
         # phonetic keys + multi-rule blocking plan evaluation
         "multipass_blocking": PH.multipass_blocking,
         # similarity search + labeled-candidate evaluation
@@ -603,6 +604,7 @@ def oracle_sql() -> dict[str, str]:
         "fs_em_weights": FS.FS_EM_WEIGHTS_SQL,
         "fs_pair_posteriors": FS.FS_PAIR_POSTERIORS_SQL,
         "fs_uncertain_pairs": FS.FS_UNCERTAIN_PAIRS_SQL,
+        "fs_mutual_match": FS.FS_MUTUAL_MATCH_SQL,
         "multipass_blocking": PH.MULTIPASS_BLOCKING_SQL,
         "cosine_topk": SIM.COSINE_TOPK_SQL,
         "ivf_topk": SIM.IVF_TOPK_SQL,

@@ -462,3 +462,120 @@ JOIN efinal e
 ORDER BY unc_q, id_a, id_b
 LIMIT {FS_LABEL_BUDGET}
 """
+
+
+# ---------------------------------------------------------------------------
+# mutual-best 1:1 matching (one synchronous round of distributed greedy)
+# ---------------------------------------------------------------------------
+
+
+def fs_mutual_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → the MUTUAL-BEST pairs of the Fellegi–Sunter-scored
+    candidate graph: (id_a, id_b, match_resp_q) kept iff b is a's
+    highest-posterior partner AND a is b's — one synchronous round of
+    the classic distributed greedy matching (the locally-dominant-edge
+    rule of Preis 1999 / the handshake step every parallel
+    maximum-weight-matching algorithm opens with), i.e. the 1:1
+    assignment a deployment runs when each record may link to AT MOST
+    ONE other (master-record pairing), where threshold+CC would
+    happily chain A−B−C into one cluster.
+
+    Relational shape: score every blocked candidate pair by the same
+    ≤ 2^K-row posterior broadcast as ``fs_pair_posteriors`` (NO ½
+    filter — contention inside blocks is the point), symmetrize the
+    edge list (one union — each direction carries its partner), take
+    each node's argmax by (posterior DESC, partner id ASC — posteriors
+    are pattern-level so ties are pervasive and the id tiebreak makes
+    the matching DETERMINISTIC), and keep edges whose two endpoints
+    chose each other. Scale: the symmetrized relation is 2|E|; the
+    argmax is one window per node partition; the handshake is an
+    equi-join of the best-choice relation with itself — all linear in
+    edges, no iteration (rounds 2+ would re-run on unmatched residue;
+    round 1 is the operator because it already yields a maximal-in-
+    practice matching on near-dup graphs and is what the one-pass
+    deployments run).
+
+    Reference analog: none — the reference ranks ontology candidates
+    per mention (one-sided argmax, W2/A3); the SYMMETRIC handshake is
+    the grafted ER tier's 1:1 constraint.
+    """
+    gamma = _gamma_pairs(spark, sf_dir).persist()
+    _, _, _, rows = _fit(gamma)
+    resp_rel = spark.createDataFrame(
+        [(g[0], g[1], g[2], resp) for g, _, resp in rows],
+        T.StructType(
+            [
+                T.StructField("g_text", T.IntegerType(), False),
+                T.StructField("g_lang", T.IntegerType(), False),
+                T.StructField("g_source", T.IntegerType(), False),
+                T.StructField("match_resp_q", T.LongType(), False),
+            ]
+        ),
+    )
+    edges = gamma.join(
+        F.broadcast(resp_rel), ["g_text", "g_lang", "g_source"]
+    ).select("id_a", "id_b", "match_resp_q")
+    return mutual_best_over(edges, "match_resp_q")
+
+
+def mutual_best_over(edges: DataFrame, w: str) -> DataFrame:
+    """Generic handshake core over ANY undirected weighted edge list
+    (id_a, id_b, w): keep edges whose endpoints are each other's
+    argmax by (w DESC, partner id ASC)."""
+    sym = edges.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v"), w
+    ).unionByName(
+        edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"), w)
+    )
+    from pyspark.sql import Window
+
+    best = (
+        sym.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("u").orderBy(
+                    F.col(w).desc(), F.col("v").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("u", "v", w)
+    )
+    other = best.select(F.col("u").alias("v2"), F.col("v").alias("u2"))
+    return (
+        best.join(
+            other, (F.col("u") == F.col("u2")) & (F.col("v") == F.col("v2"))
+        )
+        .filter(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("id_a"), F.col("v").alias("id_b"), w)
+        .orderBy("id_a", "id_b")
+    )
+
+
+FS_MUTUAL_MATCH_SQL = f"""
+WITH {_em_sql()},
+edges AS (
+  SELECT g.id_a, g.id_b, CAST(e.resp AS BIGINT) AS match_resp_q
+  FROM gpairs g
+  JOIN efinal e
+    ON g.g_text = e.g_text AND g.g_lang = e.g_lang
+   AND g.g_source = e.g_source
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v, match_resp_q FROM edges
+  UNION ALL
+  SELECT id_b AS u, id_a AS v, match_resp_q FROM edges
+),
+best AS (
+  SELECT u, v, match_resp_q FROM (
+    SELECT u, v, match_resp_q,
+           row_number() OVER (PARTITION BY u
+                              ORDER BY match_resp_q DESC, v ASC) AS rn
+    FROM sym
+  ) WHERE rn = 1
+)
+SELECT a.u AS id_a, a.v AS id_b, a.match_resp_q
+FROM best a JOIN best b ON a.u = b.v AND a.v = b.u
+WHERE a.u < a.v
+ORDER BY id_a, id_b
+"""

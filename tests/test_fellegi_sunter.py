@@ -78,3 +78,50 @@ def test_pair_posteriors_parity_and_threshold(spark, con):
     for row in got:
         assert row[-1] >= S // 2  # the ≥ 1/2 posterior contract
         assert row[0] < row[1]  # canonical a < b pair order
+
+
+# ---------------------------------------------------------------------------
+# mutual-best handshake matching
+# ---------------------------------------------------------------------------
+
+
+def test_mutual_best_handshake_properties(spark):
+    from biomedical_entity_linking_spark.operators.fellegi_sunter import (
+        mutual_best_over,
+    )
+
+    # chain 1-2-3-4 with weights 9, 5, 9: nodes 2,3 prefer outward
+    # partners, so the middle edge must drop; plus a tied star 10-(11,12)
+    # where the id tiebreak must pick 11 deterministically
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 9),
+            (2, 3, 5),
+            (3, 4, 9),
+            (10, 11, 7),
+            (10, 12, 7),
+        ],
+        "id_a long, id_b long, w long",
+    )
+    got = [(r.id_a, r.id_b, r.w) for r in mutual_best_over(edges, "w").collect()]
+    assert got == [(1, 2, 9), (3, 4, 9), (10, 11, 7)]
+    # 1:1 property: no node appears twice
+    nodes = [n for a, b, _ in got for n in (a, b)]
+    assert len(nodes) == len(set(nodes))
+
+
+def test_fs_mutual_match_is_subset_of_candidates(spark):
+    from biomedical_entity_linking_spark.operators.fellegi_sunter import (
+        _gamma_pairs,
+        fs_mutual_match,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cand = {
+        (r.id_a, r.id_b) for r in _gamma_pairs(spark, sf).collect()
+    }
+    got = fs_mutual_match(spark, sf).collect()
+    assert all((r.id_a, r.id_b) in cand for r in got)
+    # 1:1: every doc matched at most once
+    nodes = [n for r in got for n in (r.id_a, r.id_b)]
+    assert len(nodes) == len(set(nodes))

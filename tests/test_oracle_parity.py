@@ -36,6 +36,7 @@ FAST_QUERIES = [
     "fs_em_weights",
     "fs_pair_posteriors",
     "fs_uncertain_pairs",
+    "fs_mutual_match",
     "multipass_blocking",
     "snapshot_diff",
     "survivorship",
