@@ -31,6 +31,7 @@ from biomedical_entity_linking_spark.operators import text_analysis as TA
 from biomedical_entity_linking_spark.operators import setjoin as SJ
 from biomedical_entity_linking_spark.operators import editjoin as EJ
 from biomedical_entity_linking_spark.operators import ml_features as MLF
+from biomedical_entity_linking_spark.operators import metablocking as MB
 from biomedical_entity_linking_spark.operators import sketch as SK
 from biomedical_entity_linking_spark.operators import string_scores as SS
 from biomedical_entity_linking_spark.operators import survivorship as SV
@@ -518,6 +519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_mutual_match": FS.fs_mutual_match,
         # phonetic keys + multi-rule blocking plan evaluation
         "multipass_blocking": PH.multipass_blocking,
+        # blocking-graph pruning (Papadakis meta-blocking, CBS + WNP)
+        "metablocking_prune": MB.metablocking_prune,
         # similarity search + labeled-candidate evaluation
         "cosine_topk": SIM.cosine_topk,
         "ivf_topk": SIM.ivf_topk,
@@ -606,6 +609,7 @@ def oracle_sql() -> dict[str, str]:
         "fs_uncertain_pairs": FS.FS_UNCERTAIN_PAIRS_SQL,
         "fs_mutual_match": FS.FS_MUTUAL_MATCH_SQL,
         "multipass_blocking": PH.MULTIPASS_BLOCKING_SQL,
+        "metablocking_prune": MB.METABLOCKING_PRUNE_SQL,
         "cosine_topk": SIM.COSINE_TOPK_SQL,
         "ivf_topk": SIM.IVF_TOPK_SQL,
         "proto_topk": SIM.PROTO_TOPK_SQL,

@@ -38,6 +38,7 @@ FAST_QUERIES = [
     "fs_uncertain_pairs",
     "fs_mutual_match",
     "multipass_blocking",
+    "metablocking_prune",
     "snapshot_diff",
     "survivorship",
     "cluster_conflicts",
