@@ -32,6 +32,7 @@ from biomedical_entity_linking_spark.operators import setjoin as SJ
 from biomedical_entity_linking_spark.operators import editjoin as EJ
 from biomedical_entity_linking_spark.operators import ml_features as MLF
 from biomedical_entity_linking_spark.operators import metablocking as MB
+from biomedical_entity_linking_spark.operators import containment as CT
 from biomedical_entity_linking_spark.operators import sketch as SK
 from biomedical_entity_linking_spark.operators import string_scores as SS
 from biomedical_entity_linking_spark.operators import survivorship as SV
@@ -510,6 +511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_jaccard_join": SJ.prefix_jaccard_join,
         # exact bounded-edit-distance self-join (segment pigeonhole)
         "edit_distance_join": EJ.edit_distance_join,
+        # asymmetric set-containment join (quote/syndication detector)
+        "containment_join": CT.containment_join,
         # candidate-pair ML feature-table export (Magellan/Splink shape)
         "pair_features": MLF.pair_features,
         # Fellegi–Sunter probabilistic linkage (EM-estimated weights)
@@ -603,6 +606,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": D.NEARDUP_CLUSTERS_SQL,
         "prefix_jaccard_join": SJ.PREFIX_JACCARD_SQL,
         "edit_distance_join": EJ.EDIT_DISTANCE_JOIN_SQL,
+        "containment_join": CT.CONTAINMENT_JOIN_SQL,
         "pair_features": MLF.PAIR_FEATURES_SQL,
         "fs_em_weights": FS.FS_EM_WEIGHTS_SQL,
         "fs_pair_posteriors": FS.FS_PAIR_POSTERIORS_SQL,

@@ -59,8 +59,11 @@ MAX_DF = 50
 N_HOT = 5
 N_PAIR = 20
 N_CHAIN = 6
-_PAIR_BASE = 10_000_000
-_CHAIN_BASE = 20_000_000
+# disjoint at any doc count (pair ids grow 10·doc_id, chain ids
+# 3·doc_id): 1e12-apart bases keep the ranges collision-free below
+# ~1e11 docs — the containment generator's 1M-doc overlap lesson
+_PAIR_BASE = 10_000_000_000_000
+_CHAIN_BASE = 20_000_000_000_000
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

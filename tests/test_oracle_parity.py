@@ -31,6 +31,7 @@ FAST_QUERIES = [
     "incremental_linkage",
     "prefix_jaccard_join",
     "edit_distance_join",
+    "containment_join",
     "pair_features",
     "ari_quality",
     "fs_em_weights",

@@ -30,7 +30,8 @@ _DOC_OPS = ["survivorship", "snapshot_diff", "prefix_jaccard_join",
             "multipass_blocking",
             # session-4 additions
             "edit_distance_join", "pair_features", "ari_quality",
-            "cluster_conflicts"]
+            "cluster_conflicts", "fs_mutual_match", "metablocking_prune",
+            "containment_join"]
 
 _CHILD = r"""
 import json, os, sys, time
@@ -42,8 +43,9 @@ os.environ.setdefault(
 )
 from biomedical_entity_linking_spark.session import get_spark
 from biomedical_entity_linking_spark.operators import (
-    editjoin, er_quality, events_analytics, fellegi_sunter, ml_features,
-    phonetic_blocking, setjoin, survivorship, text_analysis, weburl)
+    containment, editjoin, er_quality, events_analytics, fellegi_sunter,
+    metablocking, ml_features, phonetic_blocking, setjoin, survivorship,
+    text_analysis, weburl)
 
 _FNS = {
     "event_sessions": events_analytics.event_sessions,
@@ -59,6 +61,9 @@ _FNS = {
     "pair_features": ml_features.pair_features,
     "ari_quality": er_quality.ari_quality,
     "cluster_conflicts": survivorship.cluster_conflicts,
+    "fs_mutual_match": fellegi_sunter.fs_mutual_match,
+    "metablocking_prune": metablocking.metablocking_prune,
+    "containment_join": containment.containment_join,
 }
 parts = int(os.environ.get("DEDUP_BENCH_PARTS", "64"))
 spark = get_spark(app_name=f"newops{cpus}", cores=cpus,
