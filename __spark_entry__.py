@@ -494,6 +494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_quality": EQ.blocking_quality,
         "bcubed_quality": EQ.bcubed_quality,
         "ari_quality": EQ.ari_quality,
+        # MUC link-based cluster agreement (Vilain 1995), same sys/gold
+        "muc_quality": EQ.muc_quality,
         "incremental_linkage": IC.incremental_linkage,
         "survivorship": SV.survivorship,
         "cluster_conflicts": SV.cluster_conflicts,
@@ -591,6 +593,7 @@ def oracle_sql() -> dict[str, str]:
         "blocking_quality": EQ.BLOCKING_QUALITY_SQL,
         "bcubed_quality": EQ.BCUBED_QUALITY_SQL,
         "ari_quality": EQ.ARI_QUALITY_SQL,
+        "muc_quality": EQ.MUC_QUALITY_SQL,
         "incremental_linkage": IC.INCREMENTAL_LINKAGE_SQL,
         "survivorship": SV.SURVIVORSHIP_SQL,
         "cluster_conflicts": SV.CLUSTER_CONFLICTS_SQL,

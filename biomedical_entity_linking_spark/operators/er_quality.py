@@ -236,6 +236,31 @@ ORDER BY scheme_bits DESC
 
 _ARI_PPM = 1_000_000
 
+# the synthesized SYSTEM-vs-GOLD clusterings shared by ari_quality and
+# muc_quality: gold = doc_id div 4; system corrupts gold BOTH ways
+# (5k/5k+1 merge = over-merge, doc_id ≡ 3 mod 8 → singleton = over-split)
+_SYS_GOLD_SQL = """
+  SELECT CASE WHEN doc_id % 8 = 3 THEN 1000000000 + doc_id
+              WHEN (doc_id // 4) % 5 < 2
+                THEN (doc_id // 4) - ((doc_id // 4) % 5)
+              ELSE doc_id // 4 END AS sys,
+         doc_id // 4 AS gold
+  FROM documents
+"""
+
+
+def _sys_gold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gold = F.expr("doc_id div 4")
+    merged = F.when(gold % 5 < 2, gold - (gold % 5)).otherwise(gold)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.when(
+            F.col("doc_id") % 8 == 3, F.lit(1_000_000_000) + F.col("doc_id")
+        )
+        .otherwise(merged)
+        .alias("sys"),
+        gold.alias("gold"),
+    )
+
 
 def ari_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → ONE row: Rand index + Adjusted Rand Index (Hubert &
@@ -272,16 +297,7 @@ def ari_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     P/R/F1 of predicted vs gold clusters — the same pair-counting
     family; RI/ARI add the chance-corrected summary statistic.
     """
-    gold = F.expr("doc_id div 4")
-    merged = F.when(gold % 5 < 2, gold - (gold % 5)).otherwise(gold)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.when(
-            F.col("doc_id") % 8 == 3, F.lit(1_000_000_000) + F.col("doc_id")
-        )
-        .otherwise(merged)
-        .alias("sys"),
-        gold.alias("gold"),
-    )
+    docs = _sys_gold_docs(spark, sf_dir)
     cont = docs.groupBy("sys", "gold").agg(
         F.count("*").cast("bigint").alias("c")
     )
@@ -351,12 +367,7 @@ def ari_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ARI_QUALITY_SQL = f"""
 WITH docs AS (
-  SELECT CASE WHEN doc_id % 8 = 3 THEN 1000000000 + doc_id
-              WHEN (doc_id // 4) % 5 < 2
-                THEN (doc_id // 4) - ((doc_id // 4) % 5)
-              ELSE doc_id // 4 END AS sys,
-         doc_id // 4 AS gold
-  FROM documents
+{_SYS_GOLD_SQL}
 ),
 cont AS (
   SELECT sys, gold, CAST(count(*) AS BIGINT) AS c
@@ -396,4 +407,123 @@ SELECT n_items, t_pairs, p_sys, p_gold, p_both,
                 // (th * (ah + bh) - 2 * ah * bh))
        END AS BIGINT) AS ari_ppm
 FROM wide
+"""
+
+
+# ---------------------------------------------------------------------------
+# MUC link-based agreement (Vilain et al. 1995) — the third classic metric
+# ---------------------------------------------------------------------------
+
+
+def muc_over(docs: DataFrame) -> DataFrame:
+    """Generic core over ANY (sys, gold) item relation: one MUC row.
+
+    MUC counts MISSING LINKS, not pairs: a cluster of size c needs c−1
+    links to hold together, and a gold cluster scattered over p system
+    partitions is missing p−1 of them — so
+
+      recall    = Σ_gold (|g| − p(g)) / Σ_gold (|g| − 1)
+      precision = Σ_sys  (|s| − q(s)) / Σ_sys  (|s| − 1)
+
+    with p(g)/q(s) = how many partitions of the OTHER clustering the
+    cluster intersects. Both statistics live entirely on the
+    CONTINGENCY relation: one shuffle keyed by (sys, gold), then the
+    per-side sums of (size − partition_count) come off two bounded
+    windows + first-row conditional sums (the ari_quality shape — no
+    join anywhere). Pairs never materialize, numerators are
+    non-negative by construction so integer ppm division is engine-exact.
+    Singletons contribute 0/0 and drop out, the standard MUC blind spot
+    (why bcubed_quality sits beside this relation).
+    """
+    cont = docs.groupBy("sys", "gold").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    # both sides off ONE contingency pass (the ari_quality shape): two
+    # window aggregations + first-row conditional sums — no join at all
+    w_sys = Window.partitionBy("sys")
+    w_gold = Window.partitionBy("gold")
+    cont2 = cont.select(
+        "c",
+        F.sum("c").over(w_sys).alias("s"),
+        F.count("*").over(w_sys).alias("q"),
+        F.sum("c").over(w_gold).alias("g"),
+        F.count("*").over(w_gold).alias("p"),
+        F.row_number()
+        .over(Window.partitionBy("sys").orderBy("gold"))
+        .alias("rn_sys"),
+        F.row_number()
+        .over(Window.partitionBy("gold").orderBy("sys"))
+        .alias("rn_gold"),
+    )
+    agg = cont2.agg(
+        F.sum("c").alias("n_items"),
+        F.sum(F.when(F.col("rn_gold") == 1, F.expr("g - p"))).alias("r_num"),
+        F.sum(F.when(F.col("rn_gold") == 1, F.expr("g - 1"))).alias("r_den"),
+        F.sum(F.when(F.col("rn_sys") == 1, F.expr("s - q"))).alias("p_num"),
+        F.sum(F.when(F.col("rn_sys") == 1, F.expr("s - 1"))).alias("p_den"),
+    )
+    return agg.select(
+        "n_items",
+        "r_num",
+        "r_den",
+        "p_num",
+        "p_den",
+        F.expr(f"r_num * {_PPM} div r_den").alias("muc_recall_ppm"),
+        F.expr(f"p_num * {_PPM} div p_den").alias("muc_precision_ppm"),
+    ).select(
+        "*",
+        F.expr(
+            "2 * muc_recall_ppm * muc_precision_ppm"
+            " div (muc_recall_ppm + muc_precision_ppm)"
+        ).alias("muc_f1_ppm"),
+    )
+
+
+def muc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → ONE row of MUC recall/precision/F1 (integer ppm)
+    over the SAME synthesized system-vs-gold clusterings ari_quality
+    scores — the family reads together: pairwise (t_pairs identities),
+    item-weighted (B-cubed), chance-corrected (ARI), and link-based
+    (MUC, this row: over-merges are FREE under MUC recall — the metric
+    that explains why a link-happy system can look good here and bad
+    under B-cubed precision).
+
+    Reference analog: ``eval_cluster_linking.py`` reports pairwise
+    cluster P/R/F1; MUC is the coreference literature's third member
+    of that family. Scale: contingency-bounded like ari_quality — one
+    item-scale shuffle; everything after runs over ≤ contingency-
+    cardinality rows.
+    """
+    return muc_over(_sys_gold_docs(spark, sf_dir))
+
+
+MUC_QUALITY_SQL = f"""
+WITH docs AS (
+{_SYS_GOLD_SQL}
+),
+cont AS (
+  SELECT sys, gold, CAST(count(*) AS BIGINT) AS c
+  FROM docs GROUP BY sys, gold
+),
+rec AS (
+  SELECT CAST(sum(g) AS BIGINT) AS n_items,
+         CAST(sum(g - p) AS BIGINT) AS r_num,
+         CAST(sum(g - 1) AS BIGINT) AS r_den
+  FROM (SELECT gold, sum(c) AS g, count(*) AS p FROM cont GROUP BY gold)
+),
+prec AS (
+  SELECT CAST(sum(s - q) AS BIGINT) AS p_num,
+         CAST(sum(s - 1) AS BIGINT) AS p_den
+  FROM (SELECT sys, sum(c) AS s, count(*) AS q FROM cont GROUP BY sys)
+),
+ppm AS (
+  SELECT n_items, r_num, r_den, p_num, p_den,
+         CAST(r_num * {_PPM} // r_den AS BIGINT) AS muc_recall_ppm,
+         CAST(p_num * {_PPM} // p_den AS BIGINT) AS muc_precision_ppm
+  FROM rec, prec
+)
+SELECT *,
+       CAST(2 * muc_recall_ppm * muc_precision_ppm
+         // (muc_recall_ppm + muc_precision_ppm) AS BIGINT) AS muc_f1_ppm
+FROM ppm
 """

@@ -34,6 +34,7 @@ FAST_QUERIES = [
     "containment_join",
     "pair_features",
     "ari_quality",
+    "muc_quality",
     "fs_em_weights",
     "fs_pair_posteriors",
     "fs_uncertain_pairs",
