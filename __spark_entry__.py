@@ -33,6 +33,8 @@ from biomedical_entity_linking_spark.operators import editjoin as EJ
 from biomedical_entity_linking_spark.operators import ml_features as MLF
 from biomedical_entity_linking_spark.operators import metablocking as MB
 from biomedical_entity_linking_spark.operators import containment as CT
+from biomedical_entity_linking_spark.operators import waterfall as WF
+from biomedical_entity_linking_spark.operators import pprl as PP
 from biomedical_entity_linking_spark.operators import sketch as SK
 from biomedical_entity_linking_spark.operators import string_scores as SS
 from biomedical_entity_linking_spark.operators import survivorship as SV
@@ -515,6 +517,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_join": EJ.edit_distance_join,
         # asymmetric set-containment join (quote/syndication detector)
         "containment_join": CT.containment_join,
+        # deterministic multi-pass unique-key cascade (Census-style)
+        "waterfall_link": WF.waterfall_link,
+        # Splink-style term-frequency-adjusted FS posteriors
+        "fs_tf_posteriors": FS.fs_tf_posteriors,
+        # privacy-preserving linkage: CLK Bloom encode + Dice verify
+        "clk_linkage": PP.clk_linkage,
         # candidate-pair ML feature-table export (Magellan/Splink shape)
         "pair_features": MLF.pair_features,
         # Fellegi–Sunter probabilistic linkage (EM-estimated weights)
@@ -610,6 +618,9 @@ def oracle_sql() -> dict[str, str]:
         "prefix_jaccard_join": SJ.PREFIX_JACCARD_SQL,
         "edit_distance_join": EJ.EDIT_DISTANCE_JOIN_SQL,
         "containment_join": CT.CONTAINMENT_JOIN_SQL,
+        "waterfall_link": WF.WATERFALL_LINK_SQL,
+        "fs_tf_posteriors": FS.FS_TF_POSTERIORS_SQL,
+        "clk_linkage": PP.CLK_LINKAGE_SQL,
         "pair_features": MLF.PAIR_FEATURES_SQL,
         "fs_em_weights": FS.FS_EM_WEIGHTS_SQL,
         "fs_pair_posteriors": FS.FS_PAIR_POSTERIORS_SQL,

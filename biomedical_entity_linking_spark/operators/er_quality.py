@@ -427,40 +427,50 @@ def muc_over(docs: DataFrame) -> DataFrame:
 
     with p(g)/q(s) = how many partitions of the OTHER clustering the
     cluster intersects. Both statistics live entirely on the
-    CONTINGENCY relation: one shuffle keyed by (sys, gold), then the
-    per-side sums of (size − partition_count) come off two bounded
-    windows + first-row conditional sums (the ari_quality shape — no
-    join anywhere). Pairs never materialize, numerators are
-    non-negative by construction so integer ppm division is engine-exact.
+    CONTINGENCY relation: one item-scale shuffle keyed by (sys, gold)
+    (persisted — read once per side), then two bounded sort-free
+    groupBys whose (size, parts) rows union into ONE final conditional
+    aggregation — no window, no sort, no join anywhere. Pairs never
+    materialize, numerators are non-negative by construction so
+    integer ppm division is engine-exact.
     Singletons contribute 0/0 and drop out, the standard MUC blind spot
     (why bcubed_quality sits beside this relation).
     """
     cont = docs.groupBy("sys", "gold").agg(
         F.count("*").cast("bigint").alias("c")
+    ).persist()  # read twice (per-gold and per-sys), bounded by
+    # contingency cardinality — materialize instead of re-shuffling items
+    # per-side statistics as plain map-side-combinable groupBys — NO
+    # sorted windows (a first cut used the ari_quality row_number trick;
+    # at 50M items the two window SORTS over a 12.5M-row contingency
+    # dominated and scaled at 0.305 — the tagged-union agg removes them)
+    by_gold = cont.groupBy("gold").agg(
+        F.sum("c").alias("size"), F.count("*").alias("parts")
     )
-    # both sides off ONE contingency pass (the ari_quality shape): two
-    # window aggregations + first-row conditional sums — no join at all
-    w_sys = Window.partitionBy("sys")
-    w_gold = Window.partitionBy("gold")
-    cont2 = cont.select(
-        "c",
-        F.sum("c").over(w_sys).alias("s"),
-        F.count("*").over(w_sys).alias("q"),
-        F.sum("c").over(w_gold).alias("g"),
-        F.count("*").over(w_gold).alias("p"),
-        F.row_number()
-        .over(Window.partitionBy("sys").orderBy("gold"))
-        .alias("rn_sys"),
-        F.row_number()
-        .over(Window.partitionBy("gold").orderBy("sys"))
-        .alias("rn_gold"),
+    by_sys = cont.groupBy("sys").agg(
+        F.sum("c").alias("size"), F.count("*").alias("parts")
     )
-    agg = cont2.agg(
-        F.sum("c").alias("n_items"),
-        F.sum(F.when(F.col("rn_gold") == 1, F.expr("g - p"))).alias("r_num"),
-        F.sum(F.when(F.col("rn_gold") == 1, F.expr("g - 1"))).alias("r_den"),
-        F.sum(F.when(F.col("rn_sys") == 1, F.expr("s - q"))).alias("p_num"),
-        F.sum(F.when(F.col("rn_sys") == 1, F.expr("s - 1"))).alias("p_den"),
+    tagged = by_gold.select(
+        F.lit(1).alias("is_gold"), "size", "parts"
+    ).unionByName(
+        by_sys.select(F.lit(0).alias("is_gold"), "size", "parts")
+    )
+    agg = tagged.agg(
+        F.sum(F.when(F.col("is_gold") == 1, F.col("size"))).alias(
+            "n_items"
+        ),
+        F.sum(
+            F.when(F.col("is_gold") == 1, F.expr("size - parts"))
+        ).alias("r_num"),
+        F.sum(F.when(F.col("is_gold") == 1, F.expr("size - 1"))).alias(
+            "r_den"
+        ),
+        F.sum(
+            F.when(F.col("is_gold") == 0, F.expr("size - parts"))
+        ).alias("p_num"),
+        F.sum(F.when(F.col("is_gold") == 0, F.expr("size - 1"))).alias(
+            "p_den"
+        ),
     )
     return agg.select(
         "n_items",

@@ -579,3 +579,245 @@ FROM best a JOIN best b ON a.u = b.v AND a.v = b.u
 WHERE a.u < a.v
 ORDER BY id_a, id_b
 """
+
+
+# ---------------------------------------------------------------------------
+# term-frequency-adjusted posteriors (Splink's tf adjustment)
+# ---------------------------------------------------------------------------
+
+
+def _value_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked candidate pairs carrying the γ vector AND the agreed
+    field values (needed to look up their term frequencies)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.lower(F.substring("text", 1, NORM_LEN)).alias("norm"),
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("norm").alias("norm_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("src_a"),
+        F.substring("norm", 1, BLOCK_LEN).alias("bk"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("norm").alias("norm_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("src_b"),
+        F.substring("norm", 1, BLOCK_LEN).alias("bk"),
+    )
+    return (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "norm_a",
+            "lang_a",
+            "src_a",
+            (F.col("norm_a") == F.col("norm_b")).cast("int").alias("g_text"),
+            (F.col("lang_a") == F.col("lang_b")).cast("int").alias("g_lang"),
+            (F.col("src_a") == F.col("src_b")).cast("int").alias("g_source"),
+        )
+    )
+
+
+def fs_tf_posteriors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (id_a, id_b, γ, match_resp_q, match_resp_tf_q):
+    the FS posterior WITH Splink-style term-frequency adjustment.
+
+    The classical model scores agreement on a field with one global
+    u_k — the probability two RANDOM records agree. But agreeing on
+    ``lang = 'en'`` is weak evidence while agreeing on ``lang = 'xx'``
+    is strong: the honest u for agreement on a SPECIFIC value v is
+    that value's own frequency. Splink ships exactly this adjustment
+    (term_frequency_adjustments); here it is integer-exact: for each
+    field where the pair AGREES on value v,
+
+        u_k(v) = clamp(freq_k(v) · SCALE div N, 1, SCALE − 1)
+
+    replaces u_k in the u-chain (disagreement keeps the global
+    ``SCALE − u_k`` — tf says nothing about how records disagree, the
+    same asymmetry Splink applies); the m-chain is untouched. The
+    pair posterior is then the SAME multiply-shift chain as
+    ``fs_pair_posteriors``, with the EM's converged parameters
+    embedded as literals.
+
+    Pattern-level broadcast scoring is structurally impossible here —
+    the posterior depends on VALUES, not just the γ-pattern — so the
+    plan is the honest value-keyed one: three frequency relations
+    (one map-side-combinable count each), the two small ones
+    broadcast, the text-norm one a linear keyed join; the tf product
+    ``cnt · SCALE`` is widened to decimal(38,0)/HUGEINT (int64 would
+    overflow past ~9e9 rows). Output keeps BOTH posteriors so the
+    adjustment is auditable pair by pair; the match decision
+    (≥ SCALE/2) is taken on the ADJUSTED score.
+
+    Reference analog: none — learned-similarity linkers absorb value
+    rarity into the encoder; tf adjustment is the grafted ER tier
+    (Splink's flagship feature on exactly this kind of field set).
+    """
+    dec = "decimal(38,0)"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.lower(F.substring("text", 1, NORM_LEN)).alias("norm"),
+    )
+    n_docs = docs.count()  # O(1) scalar, needed as a literal denominator
+    tf = {}
+    for field, col in (("text", "norm"), ("lang", "lang"),
+                       ("source", "source")):
+        tf[field] = docs.groupBy(F.col(col).alias(f"v_{field}")).agg(
+            F.expr(
+                f"least({SCALE} - 1, greatest(1, cast(count(*) as {dec})"
+                f" * {SCALE} div {n_docs}))"
+            )
+            .cast("bigint")
+            .alias(f"tf_{field}")
+        )
+    vp = _value_pairs(spark, sf_dir).persist()
+    lam, m, u, _ = _fit(
+        vp.select("id_a", "id_b", "g_text", "g_lang", "g_source")
+    )
+    scored = (
+        vp.join(
+            tf["text"].withColumnRenamed("v_text", "norm_a"), "norm_a"
+        )
+        .join(
+            F.broadcast(
+                tf["lang"].withColumnRenamed("v_lang", "lang_a")
+            ),
+            "lang_a",
+        )
+        .join(
+            F.broadcast(
+                tf["source"].withColumnRenamed("v_source", "src_a")
+            ),
+            "src_a",
+        )
+    )
+    # the SAME fixed-order multiply-shift chain as _e_step / _pm_expr,
+    # with converged parameters as literals; tf_* replaces u_* in the
+    # u-chain on agreement only
+    gcols = ("g_text", "g_lang", "g_source")
+    tcols = ("tf_text", "tf_lang", "tf_source")
+    # seed as bigint so the whole multiply-shift chain promotes (bare
+    # int literals are 32-bit in Spark SQL and the products overflow)
+    pm = f"cast({lam} as bigint)"
+    pu_base = f"cast({SCALE - lam} as bigint)"
+    pu_tf = pu_base
+    for k, g in enumerate(gcols):
+        pm = (
+            f"(({pm} * (CASE WHEN {g} = 1 THEN {m[k]} "
+            f"ELSE {SCALE - m[k]} END)) div {SCALE})"
+        )
+        pu_base = (
+            f"(({pu_base} * (CASE WHEN {g} = 1 THEN {u[k]} "
+            f"ELSE {SCALE - u[k]} END)) div {SCALE})"
+        )
+        pu_tf = (
+            f"(({pu_tf} * (CASE WHEN {g} = 1 THEN {tcols[k]} "
+            f"ELSE {SCALE - u[k]} END)) div {SCALE})"
+        )
+    resp = f"(({pm}) * {SCALE}) div greatest(1, ({pm}) + ({pu_base}))"
+    resp_tf = f"(({pm}) * {SCALE}) div greatest(1, ({pm}) + ({pu_tf}))"
+    return (
+        scored.select(
+            "id_a",
+            "id_b",
+            "g_text",
+            "g_lang",
+            "g_source",
+            F.expr(resp).cast("bigint").alias("match_resp_q"),
+            F.expr(resp_tf).cast("bigint").alias("match_resp_tf_q"),
+        )
+        .filter(F.col("match_resp_tf_q") >= SCALE // 2)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _tf_sql() -> str:
+    """The oracle's mirror: per-pair chains recomputed from p{N_ITER}
+    (HUGEINT all the way; same fixed field order, tf on agreement)."""
+    gcols = ("g_text", "g_lang", "g_source")
+    tcols = ("tf_text", "tf_lang", "tf_source")
+    pm = f"CAST(p.lam AS HUGEINT)"
+    pu_base = f"CAST({SCALE} - p.lam AS HUGEINT)"
+    pu_tf = pu_base
+    for k, g in enumerate(gcols, start=1):
+        pm = (
+            f"(({pm} * (CASE WHEN v.{gcols[k-1]} = 1 THEN p.m{k} "
+            f"ELSE {SCALE} - p.m{k} END)) // {SCALE})"
+        )
+        pu_base = (
+            f"(({pu_base} * (CASE WHEN v.{gcols[k-1]} = 1 THEN p.u{k} "
+            f"ELSE {SCALE} - p.u{k} END)) // {SCALE})"
+        )
+        pu_tf = (
+            f"(({pu_tf} * (CASE WHEN v.{gcols[k-1]} = 1 "
+            f"THEN CAST(v.{tcols[k-1]} AS HUGEINT) "
+            f"ELSE {SCALE} - p.u{k} END)) // {SCALE})"
+        )
+    return (
+        f"(({pm}) * {SCALE}) // GREATEST(CAST(1 AS HUGEINT),"
+        f" ({pm}) + ({pu_base})) AS resp,"
+        f" (({pm}) * {SCALE}) // GREATEST(CAST(1 AS HUGEINT),"
+        f" ({pm}) + ({pu_tf})) AS resp_tf"
+    )
+
+
+FS_TF_POSTERIORS_SQL = f"""
+WITH {_em_sql()},
+nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM docs),
+tfn AS (
+  SELECT norm AS v, LEAST({SCALE} - 1, GREATEST(1,
+           CAST(count(*) AS HUGEINT) * {SCALE} // (SELECT n FROM nn)))
+         AS tf_text
+  FROM docs GROUP BY norm
+),
+tfl AS (
+  SELECT lang AS v, LEAST({SCALE} - 1, GREATEST(1,
+           CAST(count(*) AS HUGEINT) * {SCALE} // (SELECT n FROM nn)))
+         AS tf_lang
+  FROM docs GROUP BY lang
+),
+tfs AS (
+  SELECT source AS v, LEAST({SCALE} - 1, GREATEST(1,
+           CAST(count(*) AS HUGEINT) * {SCALE} // (SELECT n FROM nn)))
+         AS tf_source
+  FROM docs GROUP BY source
+),
+vpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.norm AS norm_a, a.lang AS lang_a, a.source AS src_a,
+         CASE WHEN a.norm = b.norm THEN 1 ELSE 0 END AS g_text,
+         CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS g_lang,
+         CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS g_source
+  FROM docs a JOIN docs b
+    ON substr(a.norm, 1, {BLOCK_LEN}) = substr(b.norm, 1, {BLOCK_LEN})
+   AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT vp.*, tfn.tf_text, tfl.tf_lang, tfs.tf_source
+  FROM vpairs vp
+  JOIN tfn ON tfn.v = vp.norm_a
+  JOIN tfl ON tfl.v = vp.lang_a
+  JOIN tfs ON tfs.v = vp.src_a
+)
+SELECT id_a, id_b,
+       CAST(g_text AS INT) AS g_text,
+       CAST(g_lang AS INT) AS g_lang,
+       CAST(g_source AS INT) AS g_source,
+       CAST(resp AS BIGINT) AS match_resp_q,
+       CAST(resp_tf AS BIGINT) AS match_resp_tf_q
+FROM (
+  SELECT v.id_a, v.id_b, v.g_text, v.g_lang, v.g_source, {_tf_sql()}
+  FROM v, p{N_ITER} p
+)
+WHERE resp_tf >= {SCALE // 2}
+ORDER BY id_a, id_b
+"""

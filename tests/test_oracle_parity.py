@@ -32,6 +32,9 @@ FAST_QUERIES = [
     "prefix_jaccard_join",
     "edit_distance_join",
     "containment_join",
+    "waterfall_link",
+    "fs_tf_posteriors",
+    "clk_linkage",
     "pair_features",
     "ari_quality",
     "muc_quality",

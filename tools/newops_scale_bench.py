@@ -31,7 +31,8 @@ _DOC_OPS = ["survivorship", "snapshot_diff", "prefix_jaccard_join",
             # session-4 additions
             "edit_distance_join", "pair_features", "ari_quality",
             "cluster_conflicts", "fs_mutual_match", "metablocking_prune",
-            "containment_join"]
+            "containment_join", "waterfall_link", "muc_quality",
+            "fs_tf_posteriors", "clk_linkage"]
 
 _CHILD = r"""
 import json, os, sys, time
@@ -44,8 +45,8 @@ os.environ.setdefault(
 from biomedical_entity_linking_spark.session import get_spark
 from biomedical_entity_linking_spark.operators import (
     containment, editjoin, er_quality, events_analytics, fellegi_sunter,
-    metablocking, ml_features, phonetic_blocking, setjoin, survivorship,
-    text_analysis, weburl)
+    metablocking, ml_features, phonetic_blocking, pprl, setjoin,
+    survivorship, text_analysis, waterfall, weburl)
 
 _FNS = {
     "event_sessions": events_analytics.event_sessions,
@@ -64,6 +65,10 @@ _FNS = {
     "fs_mutual_match": fellegi_sunter.fs_mutual_match,
     "metablocking_prune": metablocking.metablocking_prune,
     "containment_join": containment.containment_join,
+    "waterfall_link": waterfall.waterfall_link,
+    "fs_tf_posteriors": fellegi_sunter.fs_tf_posteriors,
+    "clk_linkage": pprl.clk_linkage,
+    "muc_quality": er_quality.muc_quality,
 }
 parts = int(os.environ.get("DEDUP_BENCH_PARTS", "64"))
 spark = get_spark(app_name=f"newops{cpus}", cores=cpus,
