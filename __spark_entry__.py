@@ -35,6 +35,7 @@ from biomedical_entity_linking_spark.operators import metablocking as MB
 from biomedical_entity_linking_spark.operators import containment as CT
 from biomedical_entity_linking_spark.operators import waterfall as WF
 from biomedical_entity_linking_spark.operators import pprl as PP
+from biomedical_entity_linking_spark.operators import grouplink as GL
 from biomedical_entity_linking_spark.operators import sketch as SK
 from biomedical_entity_linking_spark.operators import string_scores as SS
 from biomedical_entity_linking_spark.operators import survivorship as SV
@@ -523,6 +524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_tf_posteriors": FS.fs_tf_posteriors,
         # privacy-preserving linkage: CLK Bloom encode + Dice verify
         "clk_linkage": PP.clk_linkage,
+        # two-level household linkage: member-Dice + mutual-best 1:1
+        "group_linkage": GL.group_linkage,
         # candidate-pair ML feature-table export (Magellan/Splink shape)
         "pair_features": MLF.pair_features,
         # Fellegi–Sunter probabilistic linkage (EM-estimated weights)
@@ -621,6 +624,7 @@ def oracle_sql() -> dict[str, str]:
         "waterfall_link": WF.WATERFALL_LINK_SQL,
         "fs_tf_posteriors": FS.FS_TF_POSTERIORS_SQL,
         "clk_linkage": PP.CLK_LINKAGE_SQL,
+        "group_linkage": GL.GROUP_LINKAGE_SQL,
         "pair_features": MLF.PAIR_FEATURES_SQL,
         "fs_em_weights": FS.FS_EM_WEIGHTS_SQL,
         "fs_pair_posteriors": FS.FS_PAIR_POSTERIORS_SQL,

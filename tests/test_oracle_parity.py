@@ -35,6 +35,7 @@ FAST_QUERIES = [
     "waterfall_link",
     "fs_tf_posteriors",
     "clk_linkage",
+    "group_linkage",
     "pair_features",
     "ari_quality",
     "muc_quality",

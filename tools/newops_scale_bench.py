@@ -32,7 +32,7 @@ _DOC_OPS = ["survivorship", "snapshot_diff", "prefix_jaccard_join",
             "edit_distance_join", "pair_features", "ari_quality",
             "cluster_conflicts", "fs_mutual_match", "metablocking_prune",
             "containment_join", "waterfall_link", "muc_quality",
-            "fs_tf_posteriors", "clk_linkage"]
+            "fs_tf_posteriors", "clk_linkage", "group_linkage"]
 
 _CHILD = r"""
 import json, os, sys, time
@@ -45,7 +45,7 @@ os.environ.setdefault(
 from biomedical_entity_linking_spark.session import get_spark
 from biomedical_entity_linking_spark.operators import (
     containment, editjoin, er_quality, events_analytics, fellegi_sunter,
-    metablocking, ml_features, phonetic_blocking, pprl, setjoin,
+    grouplink, metablocking, ml_features, phonetic_blocking, pprl, setjoin,
     survivorship, text_analysis, waterfall, weburl)
 
 _FNS = {
@@ -68,6 +68,7 @@ _FNS = {
     "waterfall_link": waterfall.waterfall_link,
     "fs_tf_posteriors": fellegi_sunter.fs_tf_posteriors,
     "clk_linkage": pprl.clk_linkage,
+    "group_linkage": grouplink.group_linkage,
     "muc_quality": er_quality.muc_quality,
 }
 parts = int(os.environ.get("DEDUP_BENCH_PARTS", "64"))
