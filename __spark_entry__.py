@@ -499,6 +499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ari_quality": EQ.ari_quality,
         # MUC link-based cluster agreement (Vilain 1995), same sys/gold
         "muc_quality": EQ.muc_quality,
+        # entropy-based V-measure (Rosenberg 2007), log-binned integer-exact
+        "vmeasure_quality": EQ.vmeasure_quality,
         "incremental_linkage": IC.incremental_linkage,
         "survivorship": SV.survivorship,
         "cluster_conflicts": SV.cluster_conflicts,
@@ -605,6 +607,7 @@ def oracle_sql() -> dict[str, str]:
         "bcubed_quality": EQ.BCUBED_QUALITY_SQL,
         "ari_quality": EQ.ARI_QUALITY_SQL,
         "muc_quality": EQ.MUC_QUALITY_SQL,
+        "vmeasure_quality": EQ.VMEASURE_QUALITY_SQL,
         "incremental_linkage": IC.INCREMENTAL_LINKAGE_SQL,
         "survivorship": SV.SURVIVORSHIP_SQL,
         "cluster_conflicts": SV.CLUSTER_CONFLICTS_SQL,

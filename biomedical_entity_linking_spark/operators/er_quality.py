@@ -537,3 +537,191 @@ SELECT *,
          // (muc_recall_ppm + muc_precision_ppm) AS BIGINT) AS muc_f1_ppm
 FROM ppm
 """
+
+
+# ---------------------------------------------------------------------------
+# V-measure (Rosenberg & Hirschberg 2007) — the entropy-based fourth member
+# ---------------------------------------------------------------------------
+
+
+def vmeasure_over(docs: DataFrame) -> DataFrame:
+    """Generic core over ANY (sys, gold) item relation: one V-measure row.
+
+    V-measure is the entropy view of cluster agreement — homogeneity
+    (each system cluster holds one gold class: 1 − H(G|S)/H(G)) and
+    completeness (each gold class lands in one system cluster:
+    1 − H(S|G)/H(S)), combined by their harmonic mean. It completes
+    the classic quartet beside pair-counting ``ari_quality``,
+    item-weighted ``bcubed_quality`` and link-based ``muc_quality``.
+
+    Entropies are LOG-BINNED so every statistic is integer-exact and
+    order-independent and the cross-engine value hash certifies the
+    whole pipeline — the same no-libm bin-ladder discipline as
+    ``lm_fluency``: each contingency cell contributes
+    ``c · floor(log2(marginal / c))`` via the exact identity
+    ``floor(log2(a/b)) = bitlen(a div b) − 1`` for ``a ≥ b`` (and
+    ``length(bin(q))`` IS bitlen on both engines). Binned H(G|S) can
+    exceed binned H(G) on adversarial shapes, so homogeneity_ppm /
+    completeness_ppm are signed; the harmonic mean guards on both
+    being positive. No division anywhere has a negative operand, so
+    engine div semantics agree without the ari sign-split.
+
+    Scale shape (100 TB): ONE item-scale shuffle builds the persisted
+    contingency (bounded by cluster-pair cardinality, ≪ items);
+    marginals are sort-free map-side-combinable groupBys over it (the
+    muc_over lesson — its first windowed cut scaled at 0.305, the
+    agg rewrite at 0.755 on 50M items) rejoined by key; the item
+    total N rides a one-row broadcast. The only wide arithmetic is
+    the two ppm numerators (1e6 · Σ c·bits can pass int64 past ~1e11
+    items), widened to decimal(38,0) / HUGEINT like ari_quality.
+
+    Reference analog: ``eval_cluster_linking.py`` reports pairwise
+    cluster P/R/F1; V-measure adds the information-theoretic summary
+    the clustering literature reports beside ARI.
+    """
+    cont = (
+        docs.groupBy("sys", "gold")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .persist()  # read three times, contingency-bounded
+    )
+    by_sys = cont.groupBy("sys").agg(F.sum("c").alias("n_sys"))
+    by_gold = cont.groupBy("gold").agg(F.sum("c").alias("n_gold"))
+    n_rel = by_sys.agg(F.sum("n_sys").cast("bigint").alias("n_items"))
+    # conditional binned entropies: cell c against its two marginals —
+    # marginals rejoined by key (sort-free), never windowed
+    cond = (
+        cont.join(by_sys, "sys")
+        .join(by_gold, "gold")
+        .agg(
+            F.sum(
+                F.col("c")
+                * (F.length(F.bin(F.expr("n_sys div c"))) - 1)
+            ).cast("bigint").alias("hgs_bins"),
+            F.sum(
+                F.col("c")
+                * (F.length(F.bin(F.expr("n_gold div c"))) - 1)
+            ).cast("bigint").alias("hsg_bins"),
+        )
+    )
+    # marginal binned entropies need N per row: one-row broadcast,
+    # both sides tagged into ONE conditional aggregation (muc pattern)
+    marg = (
+        by_gold.select(
+            F.lit(1).alias("is_gold"), F.col("n_gold").alias("size")
+        )
+        .unionByName(
+            by_sys.select(
+                F.lit(0).alias("is_gold"), F.col("n_sys").alias("size")
+            )
+        )
+        .crossJoin(F.broadcast(n_rel))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("is_gold") == 1,
+                    F.col("size")
+                    * (F.length(F.bin(F.expr("n_items div size"))) - 1),
+                )
+            ).cast("bigint").alias("hg_bins"),
+            F.sum(
+                F.when(
+                    F.col("is_gold") == 0,
+                    F.col("size")
+                    * (F.length(F.bin(F.expr("n_items div size"))) - 1),
+                )
+            ).cast("bigint").alias("hs_bins"),
+            F.max("n_items").alias("n_items"),
+        )
+    )
+    dec = "decimal(38,0)"
+    return (
+        cond.crossJoin(marg)
+        .select(
+            "n_items",
+            "hgs_bins",
+            "hg_bins",
+            "hsg_bins",
+            "hs_bins",
+            F.expr(
+                f"""cast(CASE WHEN hg_bins = 0 THEN {_PPM}
+                  ELSE {_PPM} - cast({_PPM} as {dec})
+                       * cast(hgs_bins as {dec})
+                       div cast(hg_bins as {dec})
+                END as bigint)"""
+            ).alias("homogeneity_ppm"),
+            F.expr(
+                f"""cast(CASE WHEN hs_bins = 0 THEN {_PPM}
+                  ELSE {_PPM} - cast({_PPM} as {dec})
+                       * cast(hsg_bins as {dec})
+                       div cast(hs_bins as {dec})
+                END as bigint)"""
+            ).alias("completeness_ppm"),
+        )
+        .select(
+            "*",
+            F.expr(
+                f"""cast(CASE WHEN homogeneity_ppm > 0
+                      AND completeness_ppm > 0
+                  THEN 2 * homogeneity_ppm * completeness_ppm
+                       div (homogeneity_ppm + completeness_ppm)
+                  ELSE 0 END as bigint)"""
+            ).alias("v_ppm"),
+        )
+    )
+
+
+def vmeasure_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → ONE row of log-binned V-measure statistics over the
+    same deterministic sys/gold clusterings as ``ari_quality`` /
+    ``muc_quality`` (over-merge pairs of gold clusters, over-split
+    every doc_id ≡ 3 mod 8 — see ``_sys_gold_docs``)."""
+    return vmeasure_over(_sys_gold_docs(spark, sf_dir))
+
+
+VMEASURE_QUALITY_SQL = f"""
+WITH docs AS (
+{_SYS_GOLD_SQL}
+),
+cont AS (
+  SELECT sys, gold, CAST(count(*) AS BIGINT) AS c
+  FROM docs GROUP BY sys, gold
+),
+by_sys AS (SELECT sys, sum(c) AS n_sys FROM cont GROUP BY sys),
+by_gold AS (SELECT gold, sum(c) AS n_gold FROM cont GROUP BY gold),
+n AS (SELECT CAST(sum(n_sys) AS BIGINT) AS n_items FROM by_sys),
+cond AS (
+  SELECT CAST(sum(c * (length(bin(n_sys // c)) - 1)) AS BIGINT)
+           AS hgs_bins,
+         CAST(sum(c * (length(bin(n_gold // c)) - 1)) AS BIGINT)
+           AS hsg_bins
+  FROM cont JOIN by_sys USING (sys) JOIN by_gold USING (gold)
+),
+marg AS (
+  SELECT CAST(sum(CASE WHEN is_gold = 1
+           THEN size * (length(bin(n_items // size)) - 1) END) AS BIGINT)
+           AS hg_bins,
+         CAST(sum(CASE WHEN is_gold = 0
+           THEN size * (length(bin(n_items // size)) - 1) END) AS BIGINT)
+           AS hs_bins,
+         CAST(max(n_items) AS BIGINT) AS n_items
+  FROM (SELECT 1 AS is_gold, n_gold AS size FROM by_gold
+        UNION ALL
+        SELECT 0 AS is_gold, n_sys AS size FROM by_sys), n
+),
+ppm AS (
+  SELECT n_items, hgs_bins, hg_bins, hsg_bins, hs_bins,
+         CAST(CASE WHEN hg_bins = 0 THEN {_PPM}
+           ELSE {_PPM} - CAST({_PPM} AS HUGEINT) * hgs_bins // hg_bins
+         END AS BIGINT) AS homogeneity_ppm,
+         CAST(CASE WHEN hs_bins = 0 THEN {_PPM}
+           ELSE {_PPM} - CAST({_PPM} AS HUGEINT) * hsg_bins // hs_bins
+         END AS BIGINT) AS completeness_ppm
+  FROM cond, marg
+)
+SELECT *,
+       CAST(CASE WHEN homogeneity_ppm > 0 AND completeness_ppm > 0
+         THEN 2 * homogeneity_ppm * completeness_ppm
+              // (homogeneity_ppm + completeness_ppm)
+         ELSE 0 END AS BIGINT) AS v_ppm
+FROM ppm
+"""

@@ -39,6 +39,7 @@ FAST_QUERIES = [
     "pair_features",
     "ari_quality",
     "muc_quality",
+    "vmeasure_quality",
     "fs_em_weights",
     "fs_pair_posteriors",
     "fs_uncertain_pairs",

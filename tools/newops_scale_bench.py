@@ -32,7 +32,8 @@ _DOC_OPS = ["survivorship", "snapshot_diff", "prefix_jaccard_join",
             "edit_distance_join", "pair_features", "ari_quality",
             "cluster_conflicts", "fs_mutual_match", "metablocking_prune",
             "containment_join", "waterfall_link", "muc_quality",
-            "fs_tf_posteriors", "clk_linkage", "group_linkage"]
+            "fs_tf_posteriors", "clk_linkage", "group_linkage",
+            "lm_fluency", "fs_uncertain_pairs"]
 
 _CHILD = r"""
 import json, os, sys, time
@@ -69,6 +70,8 @@ _FNS = {
     "fs_tf_posteriors": fellegi_sunter.fs_tf_posteriors,
     "clk_linkage": pprl.clk_linkage,
     "group_linkage": grouplink.group_linkage,
+    "lm_fluency": text_analysis.lm_fluency,
+    "fs_uncertain_pairs": fellegi_sunter.fs_uncertain_pairs,
     "muc_quality": er_quality.muc_quality,
 }
 parts = int(os.environ.get("DEDUP_BENCH_PARTS", "64"))
