@@ -33,7 +33,7 @@ _DOC_OPS = ["survivorship", "snapshot_diff", "prefix_jaccard_join",
             "cluster_conflicts", "fs_mutual_match", "metablocking_prune",
             "containment_join", "waterfall_link", "muc_quality",
             "fs_tf_posteriors", "clk_linkage", "group_linkage",
-            "lm_fluency", "fs_uncertain_pairs"]
+            "lm_fluency", "fs_uncertain_pairs", "vmeasure_quality"]
 
 _CHILD = r"""
 import json, os, sys, time
@@ -72,6 +72,7 @@ _FNS = {
     "group_linkage": grouplink.group_linkage,
     "lm_fluency": text_analysis.lm_fluency,
     "fs_uncertain_pairs": fellegi_sunter.fs_uncertain_pairs,
+    "vmeasure_quality": er_quality.vmeasure_quality,
     "muc_quality": er_quality.muc_quality,
 }
 parts = int(os.environ.get("DEDUP_BENCH_PARTS", "64"))
