@@ -501,6 +501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "muc_quality": EQ.muc_quality,
         # entropy-based V-measure (Rosenberg 2007), log-binned integer-exact
         "vmeasure_quality": EQ.vmeasure_quality,
+        # BLANC bilateral link/non-link pair agreement (Recasens 2011)
+        "blanc_quality": EQ.blanc_quality,
         "incremental_linkage": IC.incremental_linkage,
         "survivorship": SV.survivorship,
         "cluster_conflicts": SV.cluster_conflicts,
@@ -608,6 +610,7 @@ def oracle_sql() -> dict[str, str]:
         "ari_quality": EQ.ARI_QUALITY_SQL,
         "muc_quality": EQ.MUC_QUALITY_SQL,
         "vmeasure_quality": EQ.VMEASURE_QUALITY_SQL,
+        "blanc_quality": EQ.BLANC_QUALITY_SQL,
         "incremental_linkage": IC.INCREMENTAL_LINKAGE_SQL,
         "survivorship": SV.SURVIVORSHIP_SQL,
         "cluster_conflicts": SV.CLUSTER_CONFLICTS_SQL,

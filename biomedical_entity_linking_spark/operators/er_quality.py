@@ -725,3 +725,210 @@ SELECT *,
          ELSE 0 END AS BIGINT) AS v_ppm
 FROM ppm
 """
+
+
+# ---------------------------------------------------------------------------
+# BLANC (Recasens & Hovy 2011) — bilateral link/non-link pair agreement
+# ---------------------------------------------------------------------------
+
+
+def blanc_over(docs: DataFrame) -> DataFrame:
+    """Generic core over ANY (sys, gold) item relation: one BLANC row.
+
+    BLANC averages two F-scores: one over COREFERENCE links (pairs the
+    clustering puts together) and one over NON-coreference links (pairs
+    it keeps apart) — rewarding both decisions symmetrically where
+    pairwise F1 sees only the together side (singletons and the
+    dominant apart-mass are invisible to it, the imbalance BLANC was
+    designed to fix). Everything reduces to the four ari_quality pair
+    counts:
+
+      rc = p_both                 (right coref links)
+      P_c = p_both / p_sys        R_c = p_both / p_gold
+      rn = t − p_sys − p_gold + p_both   (right non-links)
+      P_n = rn / (rn + p_gold − p_both)  R_n = rn / (rn + p_sys − p_both)
+      BLANC = (F_c + F_n) / 2
+
+    computed here the SORT-FREE way (muc_over lesson, not ari's
+    windows): p_both straight off the contingency rows, p_sys / p_gold
+    from the two per-side size groupBys, all three tagged into one
+    conditional aggregation — no window, no join. All counts are
+    integer identities Σ c·(c−1)/2; t and rn pass int64 past ~4.3e9
+    items, so the ppm arithmetic is widened decimal(38,0)/HUGEINT.
+    Every numerator is non-negative (rn ≥ 0 because p_sys + p_gold −
+    p_both ≤ t: together-in-either pairs can't exceed all pairs), so
+    plain integer ppm division is engine-exact without the ari
+    sign-split. Zero denominators (no links on a side) follow the
+    reference scorer convention: that component's P/R/F is 0.
+
+    Scale shape (100 TB): identical to muc_quality — ONE item-scale
+    shuffle keyed (sys, gold), then bounded sort-free groupBys.
+
+    Reference analog: ``eval_cluster_linking.py`` reports pairwise
+    cluster P/R/F1 — exactly BLANC's coreference-link half; BLANC adds
+    the non-link half and their average.
+    """
+    cont = docs.groupBy("sys", "gold").agg(
+        F.count("*").cast("bigint").alias("c")
+    ).persist()  # read three times, contingency-bounded
+    both = cont.select(
+        F.lit(2).alias("side"), F.col("c").alias("size")
+    )
+    by_sys = cont.groupBy("sys").agg(F.sum("c").alias("size")).select(
+        F.lit(0).alias("side"), "size"
+    )
+    by_gold = cont.groupBy("gold").agg(F.sum("c").alias("size")).select(
+        F.lit(1).alias("side"), "size"
+    )
+    pairs = F.expr("size * (size - 1) div 2")
+    agg = (
+        both.unionByName(by_sys).unionByName(by_gold).agg(
+            F.sum(F.when(F.col("side") == 0, F.col("size")))
+            .cast("bigint").alias("n_items"),
+            F.coalesce(
+                F.sum(F.when(F.col("side") == 0, pairs)), F.lit(0)
+            ).cast("bigint").alias("p_sys"),
+            F.coalesce(
+                F.sum(F.when(F.col("side") == 1, pairs)), F.lit(0)
+            ).cast("bigint").alias("p_gold"),
+            F.coalesce(
+                F.sum(F.when(F.col("side") == 2, pairs)), F.lit(0)
+            ).cast("bigint").alias("p_both"),
+        )
+    )
+    dec = "decimal(38,0)"
+    wide = agg.select(
+        "n_items",
+        "p_sys",
+        "p_gold",
+        "p_both",
+        F.expr(
+            f"cast(cast(n_items as {dec}) * (n_items - 1) div 2"
+            f" - cast(p_sys as {dec}) - cast(p_gold as {dec})"
+            f" + cast(p_both as {dec}) as {dec})"
+        ).alias("rn"),
+    )
+    ppm = wide.select(
+        "*",
+        F.expr(
+            f"""cast(CASE WHEN p_sys = 0 THEN 0
+              ELSE {_PPM} * cast(p_both as {dec}) div cast(p_sys as {dec})
+            END as bigint)"""
+        ).alias("link_precision_ppm"),
+        F.expr(
+            f"""cast(CASE WHEN p_gold = 0 THEN 0
+              ELSE {_PPM} * cast(p_both as {dec}) div cast(p_gold as {dec})
+            END as bigint)"""
+        ).alias("link_recall_ppm"),
+        F.expr(
+            f"""cast(CASE WHEN rn + p_gold - p_both = 0 THEN 0
+              ELSE {_PPM} * rn div (rn + cast(p_gold as {dec})
+                                       - cast(p_both as {dec}))
+            END as bigint)"""
+        ).alias("nonlink_precision_ppm"),
+        F.expr(
+            f"""cast(CASE WHEN rn + p_sys - p_both = 0 THEN 0
+              ELSE {_PPM} * rn div (rn + cast(p_sys as {dec})
+                                       - cast(p_both as {dec}))
+            END as bigint)"""
+        ).alias("nonlink_recall_ppm"),
+    ).select(
+        "n_items",
+        "p_sys",
+        "p_gold",
+        "p_both",
+        F.col("rn").cast("decimal(38,0)").cast("string").alias("rn_pairs"),
+        "link_precision_ppm",
+        "link_recall_ppm",
+        "nonlink_precision_ppm",
+        "nonlink_recall_ppm",
+        F.expr(
+            f"""cast(CASE WHEN link_precision_ppm + link_recall_ppm = 0
+              THEN 0 ELSE 2 * link_precision_ppm * link_recall_ppm
+                   div (link_precision_ppm + link_recall_ppm)
+            END as bigint)"""
+        ).alias("link_f1_ppm"),
+        F.expr(
+            f"""cast(CASE WHEN nonlink_precision_ppm + nonlink_recall_ppm = 0
+              THEN 0 ELSE 2 * nonlink_precision_ppm * nonlink_recall_ppm
+                   div (nonlink_precision_ppm + nonlink_recall_ppm)
+            END as bigint)"""
+        ).alias("nonlink_f1_ppm"),
+    )
+    return ppm.select(
+        "*",
+        F.expr(
+            "cast((link_f1_ppm + nonlink_f1_ppm) div 2 as bigint)"
+        ).alias("blanc_ppm"),
+    )
+
+
+def blanc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → ONE row of BLANC statistics over the same
+    deterministic sys/gold clusterings as ``ari_quality`` /
+    ``muc_quality`` / ``vmeasure_quality`` (see ``_sys_gold_docs``)."""
+    return blanc_over(_sys_gold_docs(spark, sf_dir))
+
+
+BLANC_QUALITY_SQL = f"""
+WITH docs AS (
+{_SYS_GOLD_SQL}
+),
+cont AS (
+  SELECT sys, gold, CAST(count(*) AS BIGINT) AS c
+  FROM docs GROUP BY sys, gold
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN side = 0 THEN size END) AS BIGINT) AS n_items,
+         CAST(coalesce(sum(CASE WHEN side = 0
+             THEN size * (size - 1) // 2 END), 0) AS BIGINT) AS p_sys,
+         CAST(coalesce(sum(CASE WHEN side = 1
+             THEN size * (size - 1) // 2 END), 0) AS BIGINT) AS p_gold,
+         CAST(coalesce(sum(CASE WHEN side = 2
+             THEN size * (size - 1) // 2 END), 0) AS BIGINT) AS p_both
+  FROM (SELECT 2 AS side, c AS size FROM cont
+        UNION ALL
+        SELECT 0 AS side, sum(c) AS size FROM cont GROUP BY sys
+        UNION ALL
+        SELECT 1 AS side, sum(c) AS size FROM cont GROUP BY gold)
+),
+wide AS (
+  SELECT n_items, p_sys, p_gold, p_both,
+         CAST(n_items AS HUGEINT) * (n_items - 1) // 2
+           - p_sys - p_gold + p_both AS rn
+  FROM agg
+),
+ppm AS (
+  SELECT n_items, p_sys, p_gold, p_both,
+         CAST(rn AS VARCHAR) AS rn_pairs,
+         CAST(CASE WHEN p_sys = 0 THEN 0
+           ELSE {_PPM} * CAST(p_both AS HUGEINT) // p_sys
+         END AS BIGINT) AS link_precision_ppm,
+         CAST(CASE WHEN p_gold = 0 THEN 0
+           ELSE {_PPM} * CAST(p_both AS HUGEINT) // p_gold
+         END AS BIGINT) AS link_recall_ppm,
+         CAST(CASE WHEN rn + p_gold - p_both = 0 THEN 0
+           ELSE {_PPM} * rn // (rn + p_gold - p_both)
+         END AS BIGINT) AS nonlink_precision_ppm,
+         CAST(CASE WHEN rn + p_sys - p_both = 0 THEN 0
+           ELSE {_PPM} * rn // (rn + p_sys - p_both)
+         END AS BIGINT) AS nonlink_recall_ppm
+  FROM wide
+),
+f AS (
+  SELECT *,
+         CAST(CASE WHEN link_precision_ppm + link_recall_ppm = 0 THEN 0
+           ELSE 2 * link_precision_ppm * link_recall_ppm
+                // (link_precision_ppm + link_recall_ppm)
+         END AS BIGINT) AS link_f1_ppm,
+         CAST(CASE WHEN nonlink_precision_ppm + nonlink_recall_ppm = 0
+           THEN 0
+           ELSE 2 * nonlink_precision_ppm * nonlink_recall_ppm
+                // (nonlink_precision_ppm + nonlink_recall_ppm)
+         END AS BIGINT) AS nonlink_f1_ppm
+  FROM ppm
+)
+SELECT *,
+       CAST((link_f1_ppm + nonlink_f1_ppm) // 2 AS BIGINT) AS blanc_ppm
+FROM f
+"""

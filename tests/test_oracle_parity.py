@@ -40,6 +40,7 @@ FAST_QUERIES = [
     "ari_quality",
     "muc_quality",
     "vmeasure_quality",
+    "blanc_quality",
     "fs_em_weights",
     "fs_pair_posteriors",
     "fs_uncertain_pairs",

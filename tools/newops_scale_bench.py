@@ -33,7 +33,8 @@ _DOC_OPS = ["survivorship", "snapshot_diff", "prefix_jaccard_join",
             "cluster_conflicts", "fs_mutual_match", "metablocking_prune",
             "containment_join", "waterfall_link", "muc_quality",
             "fs_tf_posteriors", "clk_linkage", "group_linkage",
-            "lm_fluency", "fs_uncertain_pairs", "vmeasure_quality"]
+            "lm_fluency", "fs_uncertain_pairs", "vmeasure_quality",
+            "blanc_quality"]
 
 _CHILD = r"""
 import json, os, sys, time
@@ -73,6 +74,7 @@ _FNS = {
     "lm_fluency": text_analysis.lm_fluency,
     "fs_uncertain_pairs": fellegi_sunter.fs_uncertain_pairs,
     "vmeasure_quality": er_quality.vmeasure_quality,
+    "blanc_quality": er_quality.blanc_quality,
     "muc_quality": er_quality.muc_quality,
 }
 parts = int(os.environ.get("DEDUP_BENCH_PARTS", "64"))

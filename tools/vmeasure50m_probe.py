@@ -13,7 +13,9 @@ joins — not the scan — dominate.
 
 Usage: ``python tools/vmeasure50m_probe.py``; env knobs
 ``SCALING_LEGS`` (default "2,8"), ``SCALING_TRIALS`` (default 2),
-``VM_N`` (default 50_000_000).
+``VM_N`` (default 50_000_000), ``VM_OP`` ("vmeasure" | "blanc" —
+``blanc_over`` shares the probe since it runs the same contingency
+pipeline with per-side pair sums in place of entropies).
 """
 
 from __future__ import annotations
@@ -30,8 +32,11 @@ cpus = int(sys.argv[1]); n = int(sys.argv[2])
 os.environ.setdefault("SPARK_DRIVER_MEM", f"{6 * cpus}g")
 from pyspark.sql import functions as F
 from biomedical_entity_linking_spark.session import get_spark
-from biomedical_entity_linking_spark.operators.er_quality import vmeasure_over
+from biomedical_entity_linking_spark.operators.er_quality import (
+    blanc_over, vmeasure_over)
 
+op = os.environ.get("VM_OP", "vmeasure")
+core = {"vmeasure": vmeasure_over, "blanc": blanc_over}[op]
 spark = get_spark(app_name=f"vm50m{cpus}", cores=cpus,
                   shuffle_partitions=max(64, 2 * cpus))
 gold = F.expr("id div 4")
@@ -42,9 +47,9 @@ docs = spark.range(n).select(
     gold.alias("gold"),
 )
 t0 = time.time()
-row = [list(r) for r in vmeasure_over(docs).collect()]
+row = [list(r) for r in core(docs).collect()]
 sec = round(time.time() - t0, 2)
-print(json.dumps({"cpus": cpus, "op": "vmeasure_quality",
+print(json.dumps({"cpus": cpus, "op": op + "_quality",
                   "input_rows": n, "sec": sec, "row": row}))
 """
 
@@ -78,7 +83,8 @@ def main() -> None:
     assert len(rows) == 1, f"legs disagree on the result row: {rows}"
     lo, hi = legs[0], legs[-1]
     eff = round(best[lo] / (best[hi] * (hi / lo)), 3)
-    print(json.dumps({"probe": "vmeasure50m", "n": n, "trials": trials,
+    op = os.environ.get("VM_OP", "vmeasure")
+    print(json.dumps({"probe": op + "50m", "n": n, "trials": trials,
                       f"sec_{lo}": best[lo], f"sec_{hi}": best[hi],
                       "efficiency": eff}), flush=True)
 
