@@ -45,6 +45,7 @@ from biomedical_entity_linking_spark.operators import er_quality as EQ
 from biomedical_entity_linking_spark.operators import fellegi_sunter as FS
 from biomedical_entity_linking_spark.operators import phonetic_blocking as PH
 from biomedical_entity_linking_spark.operators import incremental as IC
+from biomedical_entity_linking_spark.operators import kcore as KC
 from biomedical_entity_linking_spark.operators import linkgraph as LG
 from biomedical_entity_linking_spark.operators import weburl as WU
 
@@ -494,6 +495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": LG.pagerank,
         "triangle_count": LG.triangle_count,
         "label_propagation": LG.label_propagation,
+        # 3-core peeling over the bounded-depth onion graph (6 rounds)
+        "kcore_decomposition": KC.kcore_decomposition,
         "blocking_quality": EQ.blocking_quality,
         "bcubed_quality": EQ.bcubed_quality,
         "ari_quality": EQ.ari_quality,
@@ -605,6 +608,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": LG.PAGERANK_SQL,
         "triangle_count": LG.TRIANGLE_COUNT_SQL,
         "label_propagation": LG.LABEL_PROPAGATION_SQL,
+        "kcore_decomposition": KC.KCORE_DECOMPOSITION_SQL,
         "blocking_quality": EQ.BLOCKING_QUALITY_SQL,
         "bcubed_quality": EQ.BCUBED_QUALITY_SQL,
         "ari_quality": EQ.ARI_QUALITY_SQL,

@@ -41,6 +41,7 @@ FAST_QUERIES = [
     "muc_quality",
     "vmeasure_quality",
     "blanc_quality",
+    "kcore_decomposition",
     "fs_em_weights",
     "fs_pair_posteriors",
     "fs_uncertain_pairs",

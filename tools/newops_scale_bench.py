@@ -34,7 +34,7 @@ _DOC_OPS = ["survivorship", "snapshot_diff", "prefix_jaccard_join",
             "containment_join", "waterfall_link", "muc_quality",
             "fs_tf_posteriors", "clk_linkage", "group_linkage",
             "lm_fluency", "fs_uncertain_pairs", "vmeasure_quality",
-            "blanc_quality"]
+            "blanc_quality", "kcore_decomposition"]
 
 _CHILD = r"""
 import json, os, sys, time
@@ -47,8 +47,8 @@ os.environ.setdefault(
 from biomedical_entity_linking_spark.session import get_spark
 from biomedical_entity_linking_spark.operators import (
     containment, editjoin, er_quality, events_analytics, fellegi_sunter,
-    grouplink, metablocking, ml_features, phonetic_blocking, pprl, setjoin,
-    survivorship, text_analysis, waterfall, weburl)
+    grouplink, kcore, metablocking, ml_features, phonetic_blocking, pprl,
+    setjoin, survivorship, text_analysis, waterfall, weburl)
 
 _FNS = {
     "event_sessions": events_analytics.event_sessions,
@@ -75,6 +75,7 @@ _FNS = {
     "fs_uncertain_pairs": fellegi_sunter.fs_uncertain_pairs,
     "vmeasure_quality": er_quality.vmeasure_quality,
     "blanc_quality": er_quality.blanc_quality,
+    "kcore_decomposition": kcore.kcore_decomposition,
     "muc_quality": er_quality.muc_quality,
 }
 parts = int(os.environ.get("DEDUP_BENCH_PARTS", "64"))
