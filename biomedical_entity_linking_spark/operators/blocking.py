@@ -204,40 +204,59 @@ def generate_candidate_pairs(
     if caches is not None:
         caches.append(sizes)  # caller unpersists after stats + pairs actions
 
-    # singleton blocks generate no pairs — drop them before the self-join.
+    # singleton blocks generate no pairs — drop them before pair expansion.
     # NOT broadcast: `sizes` has one row per distinct key (O(n*bands) at
-    # scale); this shuffle join co-partitions with the window below, so the
-    # exchange is reused.
+    # scale); this shuffle join co-partitions with the per-key grouping
+    # below, so the exchange is reused.
     keyed = keys.join(sizes.filter(F.col("block_size") > 1), ["key_kind", "key"])
-    # deterministic cap: rank rows within hot keys by stable hash, keep first N
+    # deterministic cap: rank rows within HOT keys only by stable hash
+    # (rid), keep first N. r6: the r5 formulation ranked EVERY key row
+    # (a full sort of the keys relation) and then self-joined the capped
+    # relation on the key (two more sorts) — but the cap only binds on
+    # oversized blocks, and a block capped at ``max_block_size`` rows fits
+    # comfortably in ONE agg buffer. So: window-cap only the hot-key rows,
+    # collect each block's rids into a sorted array (bounded by the cap —
+    # never an unbounded collect), and expand the a<b pairs with one
+    # nested-transform HOF. Same pairs, minus the global sort and the
+    # self-join. The per-branch groupBy reuses the keyed join's
+    # (key_kind, key) partitioning — no extra exchange.
     from pyspark.sql import Window as W
 
     w = W.partitionBy("key_kind", "key").orderBy("rid")
-    capped = (
-        keyed.withColumn("_r", F.row_number().over(w))
+    hot = (
+        keyed.filter(F.col("block_size") > max_block_size)
+        .withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= max_block_size)
         .drop("_r")
     )
+    small = keyed.filter(F.col("block_size") <= max_block_size)
 
+    def _blocks(part: DataFrame) -> DataFrame:
+        return part.groupBy("key_kind", "key").agg(
+            F.array_sort(F.collect_list("rid")).alias("rids")
+        )
+
+    rids = F.col("rids")
+    pair_structs = F.flatten(
+        F.transform(
+            rids,
+            lambda x, i: F.transform(
+                F.slice(rids, i + F.lit(2), F.size(rids)),
+                lambda y: F.struct(x.alias("rid_a"), y.alias("rid_b")),
+            ),
+        )
+    )
     pairs = (
-        capped.alias("a")
-        .join(
-            capped.alias("b"),
-            (F.col("a.key_kind") == F.col("b.key_kind"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.rid") < F.col("b.rid")),  # self/dup guard (J12)
-        )
-        .select(
-            F.col("a.rid").alias("rid_a"),
-            F.col("b.rid").alias("rid_b"),
-            F.col("a.key_kind").alias("key_kind"),
-            F.col("a.key").alias("key"),
-        )
+        _blocks(small)
+        .unionByName(_blocks(hot))
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.rid_a"), F.col("p.rid_b"))
+        # duplicate (rid, key) rows pair as rid_a = rid_b in the sorted
+        # array — excluded exactly as the old join's a.rid < b.rid did
+        .filter(F.col("rid_a") < F.col("rid_b"))
     )
     # a pair may co-block under many keys — dedup before scoring (P9/X14)
-    distinct_pairs = pairs.select("rid_a", "rid_b").dropDuplicates(
-        ["rid_a", "rid_b"]
-    )
+    distinct_pairs = pairs.dropDuplicates(["rid_a", "rid_b"])
 
     stats = sizes.groupBy("key_kind").agg(
         F.count("*").alias("n_blocks"),

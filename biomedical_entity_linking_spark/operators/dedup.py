@@ -100,10 +100,25 @@ def _shingle_relation(docs: DataFrame) -> DataFrame:
         .filter(F.size(toks) >= NGRAM_N)
         .select("doc_id", F.explode(shingles).alias("sh"))
         .dropDuplicates(["doc_id", "sh"])
+        # materialized once (r6): the relation is referenced twice right
+        # here (occurrence side + df-count side) and 2-3 more times by
+        # every caller (sizes agg, inverted-index self-join, signature
+        # agg) — without the barrier Catalyst re-derives the tokenize +
+        # explode subtree from the SCAN per reference (measured 16
+        # FileScans in the sf0.1 minhash plan). localCheckpoint rather
+        # than persist() — no cache-manager plan matching, so one timed
+        # query can never warm another's identical subtree — and LAZY
+        # (eager=False) so the materialization fuses into the query's
+        # own first action instead of adding a serial barrier job.
+        .localCheckpoint(eager=False)
     )
     df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
-    return sh.join(df_counts.filter(F.col("df") <= MAX_DF), "sh").select(
-        "doc_id", "sh"
+    return (
+        sh.join(df_counts.filter(F.col("df") <= MAX_DF), "sh")
+        .select("doc_id", "sh")
+        # the df-capped relation itself is what callers fan out from;
+        # checkpointing it keeps the cap join single-execution too
+        .localCheckpoint(eager=False)
     )
 
 
@@ -223,7 +238,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for i in range(NUM_PERM)
         ]
-    )
+    ).localCheckpoint(eager=False)  # referenced 3x (bands + both sig probes)
     # band keys from column slices of the wide signature (4-element explode
     # over doc rows only — O(docs), not O(shingles))
     band_structs = [
@@ -457,7 +472,10 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors — the same over-generate-then-refine shape as the LSH path.
     All integer algebra, identical in the DuckDB oracle.
     """
-    sh = simhash(spark, sf_dir)  # (doc_id, simhash)
+    # (doc_id, simhash) — materialized once: the band relation below joins
+    # itself, and without the barrier the 32-bit-sum aggregation subtree
+    # runs once per self-join side (2 scans of documents in the r5 plan)
+    sh = simhash(spark, sf_dir).localCheckpoint(eager=False)
     bands = sh.select(
         "doc_id",
         "simhash",
@@ -606,9 +624,12 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # materialized once: probes and the candidate-join build side both
+    # consume e; without the barrier the cell/norm HOF projection (and
+    # the planted-union scan beneath it) runs once per reference
     e = aug.select(
         "vec_id", "v", cell.alias("cell"), norm(F.col("v")).alias("nv")
-    )
+    ).localCheckpoint(eager=False)
     probes = e.select(
         "vec_id",
         F.col("v").alias("pv"),

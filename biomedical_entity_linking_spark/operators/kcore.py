@@ -168,22 +168,41 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartition(n_parts, "node")
             .localCheckpoint(eager=True)
         )
+        peeled = marked.filter(F.col("d") < K_CORE)
         peeled_parts.append(
-            marked.filter(F.col("d") < K_CORE).select(
+            peeled.select(
                 "node", F.lit(r).cast("bigint").alias("peel_round")
             )
         )
         alive = marked.filter(F.col("d") >= K_CORE).select("node")
+        # delta edge update (r6): subtract edges touching THIS round's
+        # peeled set instead of re-verifying every edge against the full
+        # alive relation. Identical result (und endpoints ⊆ previous
+        # alive by induction, so both-endpoints-alive ⇔ touches-no-peeled)
+        # but the join side is the per-round DELTA — which SHRINKS every
+        # round and is empty in the confirm round — not the whole
+        # surviving vertex set. AQE converts the two anti-joins to
+        # broadcast at runtime when the layer is small (the common case;
+        # a massive first peel falls back to SMJ on its actual size). The
+        # explicit-N repartition pin stays (r5 campaign: without it AQE
+        # coalesces the narrow shuffles to single-partition stages and
+        # the 2→8 efficiency collapses to 0.255).
+        pd = peeled.select("node")
         und = (
-            und.join(alive, und.a == alive.node, "left_semi")
-            .join(alive, und.b == alive.node, "left_semi")
+            und.join(pd, und.a == pd.node, "left_anti")
+            .join(pd, und.b == pd.node, "left_anti")
             .repartition(n_parts, "a")
             .localCheckpoint(eager=True)
         )
-    survivors = alive.join(_degrees(und), "node").select(
+    # left join + coalesce(deg, 0): totality even if the generator's
+    # structural depth bound were ever violated (a survivor stranded with
+    # zero incident edges would otherwise silently vanish from the output
+    # — ADVICE r5); under the bound every survivor has deg ≥ K_CORE and
+    # the rows are identical to the r5 inner join's.
+    survivors = alive.join(_degrees(und), "node", "left").select(
         F.col("node").alias("doc_id"),
         F.lit(0).cast("bigint").alias("peel_round"),
-        F.col("deg").alias("core_deg"),
+        F.coalesce(F.col("deg"), F.lit(0)).alias("core_deg"),
     )
     removed = peeled_parts[0]
     for part in peeled_parts[1:]:

@@ -348,13 +348,20 @@ def _lpa(nodes: DataFrame, und: DataFrame, n_parts: int) -> DataFrame:
     Scale shape: per round one equi-join (neighbor → current label,
     keyed by peer) + one (node,label) count agg (map-side combinable —
     a hub's votes collapse per partition before the shuffle) + one
-    per-node window over ≤ degree(node) label rows. Rounds are
-    ``localCheckpoint``-ed like ``pagerank``'s to cut the growing join
-    lineage. Hub skew lands on the window's node key, bounded by the
-    node's DISTINCT neighbor-label count, which LPA itself shrinks
-    every round."""
-    from pyspark.sql import Window
-
+    per-node ``max_by`` argmax agg. The winner per node is ``max_by(
+    label, struct(c, -label))`` — the unique maximum of the ``(count
+    ASC, -label ASC)`` struct order is exactly the first row of the
+    previous window formulation's ``(count DESC, label ASC)`` total
+    order, but as a partially-aggregatable agg instead of a
+    sort-the-whole-partition window. The closed-neighborhood self-vote
+    guarantees EVERY node has ≥1 vote row, so the winner relation is
+    already total — the r5 left-join of winners back onto the label
+    relation (plus its coalesce and repartition barrier) was a no-op
+    and is gone: one join + two aggs per round, nothing else. Rounds
+    are ``localCheckpoint``-ed like ``pagerank``'s to cut the growing
+    join lineage. Hub skew lands on the vote agg's (node,label) key,
+    bounded by the node's DISTINCT neighbor-label count, which LPA
+    itself shrinks every round."""
     nbr = (
         und.select(F.col("u").alias("node"), F.col("v").alias("peer"))
         .unionByName(
@@ -376,9 +383,6 @@ def _lpa(nodes: DataFrame, und: DataFrame, n_parts: int) -> DataFrame:
         .repartition(n_parts, "node")
         .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("node").orderBy(
-        F.col("c").desc(), F.col("label").asc()
-    )
     for _ in range(LPA_ITER):
         votes = (
             nbr.join(
@@ -390,16 +394,12 @@ def _lpa(nodes: DataFrame, und: DataFrame, n_parts: int) -> DataFrame:
             .groupBy("node", "label")
             .agg(F.count("*").alias("c"))
         )
-        winners = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", F.col("label").alias("new_label"))
-        )
         labels = (
-            labels.join(winners, "node", "left")
-            .select(
-                "node",
-                F.coalesce("new_label", "label").alias("label"),
+            votes.groupBy("node")
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("c"), (-F.col("label")))
+                ).alias("label")
             )
             .repartition(n_parts, "node")
             .localCheckpoint(eager=True)

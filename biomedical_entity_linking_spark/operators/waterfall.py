@@ -119,25 +119,34 @@ def waterfall_link(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def waterfall_link_over(recs: DataFrame, keys: list[str]) -> DataFrame:
     """Generic core over ANY (rec_id, side, *keys) relation: K-pass
-    unique-key cascade. NULL key → the record sits that pass out."""
+    unique-key cascade. NULL key → the record sits that pass out.
+
+    Per pass the unique-key rule — key occurs exactly once in the A pool
+    AND exactly once in the B pool — is ONE aggregation keyed by the pass
+    key with per-side conditional counts/mins, filtered to ``ca = cb =
+    1``. (The r5 formulation grouped by ``(side, key)`` and self-joined
+    the two sides back on the key: one extra shuffle + join per pass,
+    and the twice-referenced agg subtree re-computed the whole pool
+    lineage per side — 68 parquet scans in the sf0.1 plan. Same links:
+    a side with count ≠ 1 fails its ``HAVING`` in the old form and the
+    ``ca/cb = 1`` filter here.) Pools are persisted per pass — the
+    few-MB surviving-record relation each later pass re-reads (at 100 TB
+    these become the per-pass pool checkpoints the module doc
+    describes)."""
     links: DataFrame | None = None
-    pool = recs
+    pool = recs.persist()
+    is_a = F.col("side") == "a"
     for i, k in enumerate(keys, 1):
-        uniq = (
-            pool.filter(F.col(k).isNotNull())
-            .groupBy("side", k)
-            .agg(F.count("*").alias("c"), F.min("rec_id").alias("rid"))
-            .filter(F.col("c") == 1)
-        )
         new = (
-            uniq.filter(F.col("side") == "a")
-            .select(F.col(k).alias("k"), F.col("rid").alias("id_a"))
-            .join(
-                uniq.filter(F.col("side") == "b").select(
-                    F.col(k).alias("k"), F.col("rid").alias("id_b")
-                ),
-                "k",
+            pool.filter(F.col(k).isNotNull())
+            .groupBy(F.col(k))
+            .agg(
+                F.sum(F.when(is_a, 1).otherwise(0)).alias("ca"),
+                F.sum(F.when(is_a, 0).otherwise(1)).alias("cb"),
+                F.min(F.when(is_a, F.col("rec_id"))).alias("id_a"),
+                F.min(F.when(~is_a, F.col("rec_id"))).alias("id_b"),
             )
+            .filter((F.col("ca") == 1) & (F.col("cb") == 1))
             .select(
                 "id_a", "id_b", F.lit(i).cast("int").alias("pass_no")
             )
@@ -148,7 +157,7 @@ def waterfall_link_over(recs: DataFrame, keys: list[str]) -> DataFrame:
             taken = new.select(F.col("id_a").alias("rec_id")).unionByName(
                 new.select(F.col("id_b").alias("rec_id"))
             )
-            pool = pool.join(taken, "rec_id", "left_anti")
+            pool = pool.join(taken, "rec_id", "left_anti").persist()
     return links.orderBy("id_a")
 
 

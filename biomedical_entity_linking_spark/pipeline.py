@@ -346,37 +346,38 @@ def run_pipeline(
         stats_holder["stats"] = [r.asDict() for r in stats.collect()]
         return pairs
 
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        fut_pairs = pool.submit(
-            runner.run_stage,
-            "pairs",
-            _pairs,
-            lambda: {"block_stats": stats_holder.get("stats")},
-        )
-        fut_features = pool.submit(
-            runner.run_stage, "features", lambda: build_features(records)
-        )
-        pairs = fut_pairs.result()
-        features = fut_features.result()
-    _drain_caches()
+    # r6: pairs, features AND score all use the async-commit pattern —
+    # the persisted in-memory stage output flows straight into its
+    # consumer while the checkpoint write (bandwidth-bound, non-scaling)
+    # runs on a background thread. The r5 shape synchronized on the
+    # pairs/features parquet writes before scoring and on the score write
+    # before CC: three write barriers on the critical path whose bytes
+    # the downstream stages never needed (they consume the persisted
+    # rows). Crash-safety is unchanged — manifests are still written
+    # last, a torn run recomputes on resume; the finalize() calls below
+    # re-expose the checkpoint-backed tables before returning.
+    pairs_mem, _finalize_pairs = runner.run_stage_async(
+        "pairs", _pairs, lambda: {"block_stats": stats_holder.get("stats")}
+    )
+    feat_mem, _finalize_features = runner.run_stage_async(
+        "features", lambda: build_features(records)
+    )
 
     # pruned rows (cosine upper bound provably below the edge threshold)
     # are not written: they carry no information beyond their count, and at
     # ~10x the survivor volume they dominated the checkpoint write bytes.
     # n_pruned is recoverable as pairs_rows - score_rows from the counters.
-    scored = runner.run_stage(
+    scored_mem, _finalize_score = runner.run_stage_async(
         "score",
         lambda: score_pairs(
-            pairs, features, cfg.weights, prune_threshold=cfg.threshold
+            pairs_mem, feat_mem, cfg.weights, prune_threshold=cfg.threshold
         ).filter(~F.col("pruned")),
     )
 
     # edges = deterministic filter over the checkpointed score table — a
     # derived view, not a barrier (the filter re-applies identically on
     # resume; the 'edges' parquet write/read round-trip bought nothing)
-    edges = threshold_edges(scored, cfg.threshold)
+    edges = threshold_edges(scored_mem, cfg.threshold)
 
     if vertex_blocklist is not None:
         from .operators.connected_components import exclude_vertices
@@ -478,8 +479,12 @@ def run_pipeline(
         },
     )
 
-    # join the background extract writer; expose the checkpoint-backed
-    # table (the in-memory copy is released here)
+    # join the background stage writers; expose the checkpoint-backed
+    # tables (the in-memory copies are released here)
+    pairs = _finalize_pairs()
+    _drain_caches()
+    features = _finalize_features()
+    scored = _finalize_score()
     extract_table = _finalize_extract()
     if norm_rules is None:
         records = extract_table
