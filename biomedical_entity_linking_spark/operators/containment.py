@@ -108,6 +108,10 @@ def containment_join_over(
     """Generic core over ANY distinct (doc_id, tok) relation: the
     exact τ = num/den containment join (A-side prefix probe against
     the full posting index + integer cross-multiplied verify)."""
+    # token relation referenced 4x (df agg, rank join, posting index,
+    # set collect) and sets 2x: lazy localCheckpoints materialize each
+    # once per query (20 parquet scans in the r5 sf0.1 plan otherwise)
+    toks = toks.localCheckpoint(eager=False)
     df_order = toks.groupBy("tok").agg(F.count("*").alias("df"))
     ranked = (
         toks.join(df_order, "tok")
@@ -135,7 +139,7 @@ def containment_join_over(
     )
     sets = toks.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("tok")).alias("toks")
-    )
+    ).localCheckpoint(eager=False)
     return (
         cand.join(
             sets.select(

@@ -97,6 +97,10 @@ def edit_distance_join_over(names: DataFrame, d: int = 1) -> DataFrame:
     Levenshtein-≤-d self-join (segment index + shifted-substring probe
     + built-in verify)."""
     k = d + 1
+    # the name relation fans out 4 ways (segment index, shifted probe,
+    # and both verify sides): one lazy localCheckpoint materializes the
+    # generator subtree once per query instead of once per reference
+    names = names.localCheckpoint(eager=False)
     base = names.select(
         "doc_id", "name", F.length("name").alias("n")
     )

@@ -527,19 +527,21 @@ def mutual_best_over(edges: DataFrame, w: str) -> DataFrame:
     ).unionByName(
         edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"), w)
     )
-    from pyspark.sql import Window
-
+    # per-endpoint argmax as a partially-aggregatable max_by over the
+    # (w DESC, partner ASC) total order — the unique max of struct(w, -v)
+    # is exactly the r5 row_number window's first row, without sorting
+    # every endpoint's edge list; lazily checkpointed because the
+    # handshake below references it twice (no cache-manager matching)
     best = (
-        sym.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("u").orderBy(
-                    F.col(w).desc(), F.col("v").asc()
-                )
-            ),
+        sym.groupBy("u")
+        .agg(
+            F.max_by(
+                F.struct(F.col("v"), F.col(w)),
+                F.struct(F.col(w), (-F.col("v"))),
+            ).alias("_b")
         )
-        .filter(F.col("rn") == 1)
-        .select("u", "v", w)
+        .select("u", F.col("_b.v").alias("v"), F.col(f"_b.{w}").alias(w))
+        .localCheckpoint(eager=False)
     )
     other = best.select(F.col("u").alias("v2"), F.col("v").alias("u2"))
     return (

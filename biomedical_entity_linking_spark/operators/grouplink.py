@@ -127,6 +127,11 @@ def group_linkage_over(
 ) -> DataFrame:
     """Generic core over ANY (gid, member) roster relation with file A
     gids < 2^40 ≤ file B gids: Dice group scores + mutual-best 1:1."""
+    # roster referenced 3x (size agg + both join sides), scores 2x
+    # (handshake input + final re-attach): lazy localCheckpoints stop
+    # Catalyst re-deriving the generator subtree per reference (118
+    # parquet scans in the r5 sf0.1 plan → 2 after)
+    members = members.localCheckpoint(eager=False)
     sz = members.groupBy("gid").agg(F.count("*").alias("sz"))
     a = members.filter(F.col("gid") < _GB_OFFSET).select(
         F.col("gid").alias("ga"), "member"
@@ -151,6 +156,7 @@ def group_linkage_over(
         .filter(
             F.expr(f"2 * matched * {_PPM} >= {dice_min_ppm} * (sz_a + sz_b)")
         )
+        .localCheckpoint(eager=False)
     )
     pairs = mutual_best_over(
         scored.select(

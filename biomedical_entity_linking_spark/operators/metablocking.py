@@ -117,10 +117,15 @@ def metablocking_prune_over(
 ) -> DataFrame:
     """Generic core over ANY distinct (doc_id, tok) relation: block
     purging → CBS edges → WNP prune."""
+    # toks referenced twice (df agg + purge join), kept twice (self-join
+    # sides), edges twice (both directions of sym): lazy localCheckpoints
+    # materialize each once per query (48 parquet scans in the r5 sf0.1
+    # plan otherwise)
+    toks = toks.localCheckpoint(eager=False)
     df_rel = toks.groupBy("tok").agg(F.count("*").alias("df"))
     kept = toks.join(
         df_rel.filter((F.col("df") >= 2) & (F.col("df") <= max_df)), "tok"
-    ).select("tok", "doc_id")
+    ).select("tok", "doc_id").localCheckpoint(eager=False)
     a = kept.select("tok", F.col("doc_id").alias("doc_a"))
     b = kept.select("tok", F.col("doc_id").alias("doc_b"))
     edges = (
@@ -128,6 +133,7 @@ def metablocking_prune_over(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("bigint").alias("cbs"))
+        .localCheckpoint(eager=False)
     )
     sym = edges.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v"), "cbs"

@@ -146,7 +146,10 @@ def clk_linkage_over(
 ) -> DataFrame:
     """Generic core over ANY (doc_id, name) relation: CLK encode →
     nonzero-word banding → integer-Dice verify."""
-    words = _bloom_words(names)
+    # encoded CLK relation referenced 3x (band explode + both verify
+    # probes), bands 3x (df agg + self-join sides): lazy localCheckpoints
+    # materialize the encode once per query instead of once per reference
+    words = _bloom_words(names).localCheckpoint(eager=False)
     bands = words.select(
         "doc_id",
         F.posexplode(
@@ -159,7 +162,7 @@ def clk_linkage_over(
         .filter(F.col("df") <= MAX_DF)
         .select("seg", "val")
     )
-    bands = bands.join(ok, ["seg", "val"])
+    bands = bands.join(ok, ["seg", "val"]).localCheckpoint(eager=False)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["seg", "val"])

@@ -100,6 +100,11 @@ def prefix_jaccard_over(
     """Generic core over ANY distinct (doc_id, tok) relation: the exact
     τ = num/den set-similarity self-join (prefix filter + length filter
     + integer-cross-multiplied verify)."""
+    # token relation referenced 3x (df agg + rank join + set collect),
+    # prefix and sets 2x each (self-join / verify sides): lazy
+    # localCheckpoints materialize each once per query (36 parquet scans
+    # in the r5 sf0.1 plan otherwise)
+    toks = toks.localCheckpoint(eager=False)
     df_order = toks.groupBy("tok").agg(F.count("*").alias("df"))
     ranked = (
         toks.join(df_order, "tok")
@@ -121,10 +126,10 @@ def prefix_jaccard_over(
         <= F.col("sz")
         - F.expr(f"(sz * {num} + {den} - 1) div {den}")
         + F.lit(1)
-    ).select("tok", "doc_id", "sz")
+    ).select("tok", "doc_id", "sz").localCheckpoint(eager=False)
     sets = toks.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("tok")).alias("toks")
-    )
+    ).localCheckpoint(eager=False)
     a = prefix.select(
         "tok", F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")
     )
