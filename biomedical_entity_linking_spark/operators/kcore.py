@@ -166,7 +166,11 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node", F.coalesce(F.col("deg"), F.lit(0)).alias("d")
             )
             .repartition(n_parts, "node")
-            .localCheckpoint(eager=True)
+            # lazy: the round's ONE eager materialization is the edge
+            # checkpoint below, which computes marked on the way (its
+            # blocks cache under the checkpoint, so peeled/alive readers
+            # reuse them) — one Spark job per round instead of two
+            .localCheckpoint(eager=False)
         )
         peeled = marked.filter(F.col("d") < K_CORE)
         peeled_parts.append(

@@ -118,17 +118,31 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.col("dst").alias("doc_id"),
                 F.expr("rank_q div outdeg").alias("c"),
+                F.lit(0).cast("long").alias("b"),
             )
         )
-        inflow = contrib.groupBy("doc_id").agg(F.sum("c").alias("inflow"))
+        # r6: the teleport term rides the SAME aggregation as the inflow
+        # sum — base rows union in as (c=0, b=base_q) and one groupBy
+        # yields both sums, replacing the r5 per-round base⋈inflow left
+        # join (sorts + coalesce) with zero extra shuffles. sum(b) is
+        # exactly base_q (one base row per node), sum(c) is exactly the
+        # old coalesce(inflow, 0) (no contrib rows → empty sum over the
+        # union group's c zeros) — integer arithmetic unchanged, so the
+        # ranks stay bit-identical to the oracle.
         rank = (
-            base.join(inflow, "doc_id", "left")
-            .select(
-                "doc_id",
+            contrib.unionByName(
+                base.select(
+                    "doc_id",
+                    F.lit(0).cast("long").alias("c"),
+                    F.col("base_q").alias("b"),
+                )
+            )
+            .groupBy("doc_id")
+            .agg(
                 F.expr(
-                    f"({100 - DAMP_NUM} * base_q"
-                    f" + {DAMP_NUM} * coalesce(inflow, 0)) div {DAMP_DEN}"
-                ).alias("rank_q"),
+                    f"({100 - DAMP_NUM} * sum(b)"
+                    f" + {DAMP_NUM} * sum(c)) div {DAMP_DEN}"
+                ).alias("rank_q")
             )
         )
         if it < N_ITER - 1:

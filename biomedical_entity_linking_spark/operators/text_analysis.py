@@ -801,11 +801,14 @@ def _domain_scores(docs: DataFrame, ref_col) -> DataFrame:
     differences (see ``domain_posterior_scores`` for why the driver
     corpus can't exhibit statistical power)."""
     S = DOMAIN_SCALE
+    # token relation referenced 3x (model count, prior totals, score
+    # join): one lazy localCheckpoint replaces three tokenize+explode
+    # corpus passes with one
     toks = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
         "doc_id",
         ref_col.cast("long").alias("is_ref"),
         F.explode(_tokens(F.col("text"))).alias("token"),
-    )
+    ).localCheckpoint(eager=False)
     model = (
         # repartition-first before the vocabulary-keyed count — the
         # measured vocab_topk lesson (text_analysis.vocab_topk docstring):
@@ -984,7 +987,10 @@ def _lm_fluency_core(docs: DataFrame, ref_lang: str = LM_REF_LANG) -> DataFrame:
     the score separates them (the driver corpus draws tokens i.i.d., so
     it certifies the mechanism; the test certifies the power — the
     ``_domain_scores`` division of labor)."""
-    big = _lm_bigrams(docs)
+    # bigram relation referenced 3x (model count, vocab agg, score join):
+    # one lazy localCheckpoint replaces three tokenize+explode corpus
+    # passes with one
+    big = _lm_bigrams(docs).localCheckpoint(eager=False)
     refbig = big.filter(F.col("lang") == ref_lang)
     # repartition-first before the vocabulary²-keyed count — the measured
     # vocab_topk lesson: bound every map-side combine map by
