@@ -25,7 +25,7 @@ import re
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
+from pyspark.sql.types import StringType, StructField, StructType
 
 _TITLE_RE = re.compile(rb"<title[^>]*>(.*?)</title>", re.S | re.I)
 _BODY_RE = re.compile(rb"<body[^>]*>(.*?)</body>", re.S | re.I)
@@ -66,6 +66,35 @@ def extract_title(html: pd.Series) -> pd.Series:
         return _clean_fragment(m.group(1)) if m else ""
 
     return html.map(one)
+
+
+_EXTRACT_SCHEMA = StructType(
+    [
+        StructField("extracted_text", StringType()),
+        StructField("title", StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_EXTRACT_SCHEMA)
+def _extract_text_title(html: pd.Series) -> pd.DataFrame:
+    """Fused text+title extraction (r6): the html payload — the widest
+    column in the pipeline — crosses the JVM→Python Arrow boundary ONCE
+    and the <title> regex runs once, where the split ``extract_text`` /
+    ``extract_title`` pair shipped every page's bytes twice and searched
+    the title twice (guide-§4 boundary cost; values byte-identical)."""
+
+    def one(h: bytes | None) -> tuple[str, str]:
+        if h is None:
+            return "", ""
+        t = _TITLE_RE.search(h)
+        b = _BODY_RE.search(h)
+        title = _clean_fragment(t.group(1)) if t else ""
+        body = _clean_fragment(b.group(1)) if b else ""
+        return title + "\n" + body, title
+
+    pairs = [one(h) for h in html]
+    return pd.DataFrame(pairs, columns=["extracted_text", "title"])
 
 
 def normalized_domain(url: Column) -> Column:
@@ -164,8 +193,9 @@ def run_extract(pages: DataFrame, lang_filter: str | None = "eng") -> DataFrame:
 
     w = W.partitionBy("url").orderBy(F.col("warc_ts").desc())
     df = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
-    df = df.withColumn("extracted_text", extract_text(F.col("html")))
-    df = df.withColumn("title", extract_title(F.col("html")))
+    df = df.withColumn("_ex", _extract_text_title(F.col("html")))
+    df = df.withColumn("extracted_text", F.col("_ex.extracted_text"))
+    df = df.withColumn("title", F.col("_ex.title")).drop("_ex")
     df = df.withColumn("norm_domain", normalized_domain(F.col("url")))
     df = df.withColumn("norm_title", normalized_title(F.col("title")))
     # dense 8-byte record id: everything downstream of extract (keys, pairs,

@@ -166,11 +166,7 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node", F.coalesce(F.col("deg"), F.lit(0)).alias("d")
             )
             .repartition(n_parts, "node")
-            # lazy: the round's ONE eager materialization is the edge
-            # checkpoint below, which computes marked on the way (its
-            # blocks cache under the checkpoint, so peeled/alive readers
-            # reuse them) — one Spark job per round instead of two
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         peeled = marked.filter(F.col("d") < K_CORE)
         peeled_parts.append(
@@ -179,22 +175,14 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         alive = marked.filter(F.col("d") >= K_CORE).select("node")
-        # delta edge update (r6): subtract edges touching THIS round's
-        # peeled set instead of re-verifying every edge against the full
-        # alive relation. Identical result (und endpoints ⊆ previous
-        # alive by induction, so both-endpoints-alive ⇔ touches-no-peeled)
-        # but the join side is the per-round DELTA — which SHRINKS every
-        # round and is empty in the confirm round — not the whole
-        # surviving vertex set. AQE converts the two anti-joins to
-        # broadcast at runtime when the layer is small (the common case;
-        # a massive first peel falls back to SMJ on its actual size). The
-        # explicit-N repartition pin stays (r5 campaign: without it AQE
-        # coalesces the narrow shuffles to single-partition stages and
-        # the 2→8 efficiency collapses to 0.255).
-        pd = peeled.select("node")
+        # r6 note: a delta formulation (anti-join against the round's
+        # peeled set — smaller join side, empty in the confirm round) was
+        # measured head-to-head at sf0.1 and lost ~1.5 s of first-shot
+        # wall to AQE re-planning of 12 adaptive joins; the r5 semi-join
+        # update with the pinned repartition stays (OPTIMIZATION_r06.md).
         und = (
-            und.join(pd, und.a == pd.node, "left_anti")
-            .join(pd, und.b == pd.node, "left_anti")
+            und.join(alive, und.a == alive.node, "left_semi")
+            .join(alive, und.b == alive.node, "left_semi")
             .repartition(n_parts, "a")
             .localCheckpoint(eager=True)
         )
