@@ -8,7 +8,8 @@ dedup family, text analysis, similarity search (G8-dispatched ANN with
 size-switch-mirroring oracles), the k-ladder joint-graph family, the
 ranked-candidate evaluation metrics, mention-surface operators, and the
 relational operator-coverage queries (aggregations, joins, windows, set
-ops) on the TPC-H-ish tables — 46 entries, 45 with DuckDB oracles.
+ops) on the TPC-H-ish tables — 91 entries, 90 with DuckDB oracles
+(``er_clusters`` is rows-only by design: iterative CC).
 """
 
 from __future__ import annotations
@@ -463,16 +464,90 @@ ORDER BY user_id
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order is the DRIVER's correctness-sampling order (the
+    driver oracle-checks the first 50 entries): slots 2-50 hold, in
+    priority order, (a) the 13 queries that had never received a driver
+    oracle row through round 5 (VERDICT r5 "What's missing" #1), (b) the
+    12 queries whose internals changed in the r6 optimization round, and
+    (c) the round-4-green queries untouched since. ``bench.py`` times
+    every entry regardless of order (it sorts names), so this ordering
+    affects verification coverage only, never measurement."""
     return {
         # flagship ER pipeline (rows-only: iterative CC not SQL-expressible)
         "er_clusters": _er_clusters,
+        # --- (a) never driver-oracle-checked before round 6 -------------
+        # Fellegi–Sunter probabilistic linkage (EM-estimated weights)
+        "fs_em_weights": FS.fs_em_weights,
+        "fs_pair_posteriors": FS.fs_pair_posteriors,
+        "fs_uncertain_pairs": FS.fs_uncertain_pairs,
+        "fs_mutual_match": FS.fs_mutual_match,
+        # Splink-style term-frequency-adjusted FS posteriors
+        "fs_tf_posteriors": FS.fs_tf_posteriors,
+        # privacy-preserving linkage: CLK Bloom encode + Dice verify
+        "clk_linkage": PP.clk_linkage,
+        # two-level household linkage: member-Dice + mutual-best 1:1
+        "group_linkage": GL.group_linkage,
+        # candidate-pair ML feature-table export (Magellan/Splink shape)
+        "pair_features": MLF.pair_features,
+        # phonetic keys + multi-rule blocking plan evaluation
+        "multipass_blocking": PH.multipass_blocking,
+        # blocking-graph pruning (Papadakis meta-blocking, CBS + WNP)
+        "metablocking_prune": MB.metablocking_prune,
+        "event_sessions": EA.event_sessions,
+        "funnel_conversion": EA.funnel_conversion,
+        "retention_cohorts": EA.retention_cohorts,
+        # --- (b) internals changed by the r6 optimization round ---------
+        # deterministic multi-pass unique-key cascade (Census-style)
+        "waterfall_link": WF.waterfall_link,
+        "label_propagation": LG.label_propagation,
+        # 3-core peeling over the bounded-depth onion graph (6 rounds)
+        "kcore_decomposition": KC.kcore_decomposition,
+        "pagerank": LG.pagerank,
+        "minhash_lsh_candidates": D.minhash_lsh_candidates,
+        "simhash_neardup": D.simhash_neardup,
+        "ngram_jaccard_neardup": D.ngram_jaccard_neardup,
+        # near-dup cluster formation (LSH edges → connected components)
+        "neardup_clusters": D.neardup_clusters,
+        "embedding_neardup": D.embedding_neardup,
+        "prefix_jaccard_join": SJ.prefix_jaccard_join,
+        # exact bounded-edit-distance self-join (segment pigeonhole)
+        "edit_distance_join": EJ.edit_distance_join,
+        # asymmetric set-containment join (quote/syndication detector)
+        "containment_join": CT.containment_join,
+        "lm_fluency": TA.lm_fluency,
+        "domain_posterior_scores": TA.domain_posterior_scores,
+        # --- (c) round-4 green, code untouched since ---------------------
+        # similarity search + labeled-candidate evaluation
+        "cosine_topk": SIM.cosine_topk,
+        "ivf_topk": SIM.ivf_topk,
+        "proto_topk": SIM.proto_topk,
+        "knn_label_recall": EV.knn_label_recall,
+        "ladder_graphs": LD.ladder_graphs,
+        "recall_modes": MT.recall_modes,
+        "map_at_k": MT.map_at_k,
+        "precision_at_k": MT.precision_at_k,
+        "failure_attribution": MT.failure_attribution,
+        "chi_square_flags": MT.chi_square_flags,
+        "content_tokens": EV.content_tokens,
+        "props_value_stats": EV.props_value_stats,
+        # mention-surface operators
+        "mention_spans": MN.mention_spans,
+        "offsets_roundtrip": MN.offsets_roundtrip,
+        "source_norm_stats": MN.source_norm_stats,
+        # relational coverage
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "first_ship_per_supplier": q_first_ship_per_supplier,
+        "order_priority_crosstab": q_order_priority_crosstab,
+        "user_event_stats": q_user_event_stats,
+        "event_gaps": q_event_gaps,
+        "part_vote_rank": q_part_vote_rank,
+        "order_part_sets": q_order_part_sets,
+        "ordered_dedup_first": q_ordered_dedup_first,
+        # --- past the driver's 50-row window (green r5 rows on file) -----
         # dedup family
         "exact_dedup": D.exact_dedup,
-        "ngram_jaccard_neardup": D.ngram_jaccard_neardup,
-        "minhash_lsh_candidates": D.minhash_lsh_candidates,
         "simhash": D.simhash,
-        "simhash_neardup": D.simhash_neardup,
-        "embedding_neardup": D.embedding_neardup,
         "dup_spans": D.dup_spans,
         "decontamination": D.decontamination,
         # text analysis
@@ -487,16 +562,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": TA.vocab_topk,
         "pii_scrub": TA.pii_scrub,
         "leakage_safe_split": TA.leakage_safe_split,
-        "domain_posterior_scores": TA.domain_posterior_scores,
-        "lm_fluency": TA.lm_fluency,
         # web-crawl key canonicalization
         "pair_scores": SS.pair_scores,
         "tfidf_cosine_topk": TI.tfidf_cosine_topk,
-        "pagerank": LG.pagerank,
         "triangle_count": LG.triangle_count,
-        "label_propagation": LG.label_propagation,
-        # 3-core peeling over the bounded-depth onion graph (6 rounds)
-        "kcore_decomposition": KC.kcore_decomposition,
         "blocking_quality": EQ.blocking_quality,
         "bcubed_quality": EQ.bcubed_quality,
         "ari_quality": EQ.ari_quality,
@@ -518,64 +587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": WU.url_dedup,
         "host_stats": WU.host_stats,
         "snapshot_diff": WU.snapshot_diff,
-        # near-dup cluster formation (LSH edges → connected components)
-        "neardup_clusters": D.neardup_clusters,
-        "prefix_jaccard_join": SJ.prefix_jaccard_join,
-        # exact bounded-edit-distance self-join (segment pigeonhole)
-        "edit_distance_join": EJ.edit_distance_join,
-        # asymmetric set-containment join (quote/syndication detector)
-        "containment_join": CT.containment_join,
-        # deterministic multi-pass unique-key cascade (Census-style)
-        "waterfall_link": WF.waterfall_link,
-        # Splink-style term-frequency-adjusted FS posteriors
-        "fs_tf_posteriors": FS.fs_tf_posteriors,
-        # privacy-preserving linkage: CLK Bloom encode + Dice verify
-        "clk_linkage": PP.clk_linkage,
-        # two-level household linkage: member-Dice + mutual-best 1:1
-        "group_linkage": GL.group_linkage,
-        # candidate-pair ML feature-table export (Magellan/Splink shape)
-        "pair_features": MLF.pair_features,
-        # Fellegi–Sunter probabilistic linkage (EM-estimated weights)
-        "fs_em_weights": FS.fs_em_weights,
-        "fs_pair_posteriors": FS.fs_pair_posteriors,
-        "fs_uncertain_pairs": FS.fs_uncertain_pairs,
-        "fs_mutual_match": FS.fs_mutual_match,
-        # phonetic keys + multi-rule blocking plan evaluation
-        "multipass_blocking": PH.multipass_blocking,
-        # blocking-graph pruning (Papadakis meta-blocking, CBS + WNP)
-        "metablocking_prune": MB.metablocking_prune,
-        # similarity search + labeled-candidate evaluation
-        "cosine_topk": SIM.cosine_topk,
-        "ivf_topk": SIM.ivf_topk,
-        "proto_topk": SIM.proto_topk,
-        "knn_label_recall": EV.knn_label_recall,
-        "ladder_graphs": LD.ladder_graphs,
-        "recall_modes": MT.recall_modes,
-        "map_at_k": MT.map_at_k,
-        "precision_at_k": MT.precision_at_k,
-        "failure_attribution": MT.failure_attribution,
-        "chi_square_flags": MT.chi_square_flags,
-        "content_tokens": EV.content_tokens,
-        "props_value_stats": EV.props_value_stats,
-        # mention-surface operators
-        "mention_spans": MN.mention_spans,
-        "offsets_roundtrip": MN.offsets_roundtrip,
-        "source_norm_stats": MN.source_norm_stats,
         "media_bytes_stats": MM.media_bytes_stats,
-        # relational coverage
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "first_ship_per_supplier": q_first_ship_per_supplier,
-        "order_priority_crosstab": q_order_priority_crosstab,
-        "user_event_stats": q_user_event_stats,
-        "event_gaps": q_event_gaps,
-        "event_sessions": EA.event_sessions,
-        "funnel_conversion": EA.funnel_conversion,
-        "retention_cohorts": EA.retention_cohorts,
         "purchasers_who_clicked": q_purchasers_who_clicked,
-        "part_vote_rank": q_part_vote_rank,
-        "order_part_sets": q_order_part_sets,
-        "ordered_dedup_first": q_ordered_dedup_first,
         "dup_part_names": q_dup_part_names,
         "filtered_parts": q_filtered_parts,
     }

@@ -503,13 +503,17 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
-        .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # r6: verify BEFORE deduplicating — hamming is a cheap per-row bit op
+    # on columns the band join already carries, and each (doc_a, doc_b)
+    # has one simhash pair, so filtering first shrinks the distinct's
+    # shuffle from every band collision to the true near-dups (same rows)
     return (
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
