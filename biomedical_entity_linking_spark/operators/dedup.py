@@ -472,12 +472,25 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors — the same over-generate-then-refine shape as the LSH path.
     All integer algebra, identical in the DuckDB oracle.
     """
-    # (doc_id, simhash) — materialized once: the band relation below joins
-    # itself, and without the barrier the 32-bit-sum aggregation subtree
-    # runs once per self-join side (2 scans of documents in the r5 plan)
+    # (doc_id, simhash) — materialized once: every relation below derives
+    # from it (lazy checkpoint: no serial barrier, no cache-manager reuse)
     sh = simhash(spark, sf_dir).localCheckpoint(eager=False)
-    bands = sh.select(
-        "doc_id",
+    # r6: band-join DISTINCT VALUES, not documents. Dedup corpora put
+    # thousands of identical simhashes in every band block (sf1.0:
+    # 50,000 docs collapse to 20,514 values with a 4,076-doc top class),
+    # so the r5 doc-level band self-join enumerated each duplicate
+    # class's quadratic pair set once PER BAND plus every hot-byte
+    # cross-pair — 548 s at sf1.0. Value-level: identical-value doc
+    # pairs are within-class pairs (hamming 0) read off one equi-join on
+    # the simhash itself; cross-value candidates come from the band join
+    # over distinct values (collision width shrinks by the duplication
+    # factor), are hamming-verified while still one row per VALUE pair,
+    # and only qualifying value pairs expand back to doc pairs — the
+    # expansion is exactly the output, no wasted enumeration. Same pair
+    # set: docs share a band iff their values do, and hamming depends
+    # only on the values.
+    vals = sh.select("simhash").distinct().localCheckpoint(eager=False)
+    vbands = vals.select(
         "simhash",
         F.explode(
             F.array(
@@ -492,30 +505,42 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bv"),
-    ).select("doc_id", "simhash", "bv.band", "bv.band_val")
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "band_val"])
+    ).select("simhash", "bv.band", "bv.band_val")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    vpairs = (
+        vbands.alias("a")
+        .join(vbands.alias("b"), ["band", "band_val"])
+        .filter(F.col("a.simhash") < F.col("b.simhash"))
+        .select(
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 3)  # verify BEFORE distinct + expand
+        .distinct()
+    )
+    within = (
+        sh.alias("a")
+        .join(sh.alias("b"), "simhash")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.lit(0).alias("hamming"),
         )
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    # r6: verify BEFORE deduplicating — hamming is a cheap per-row bit op
-    # on columns the band join already carries, and each (doc_a, doc_b)
-    # has one simhash pair, so filtering first shrinks the distinct's
-    # shuffle from every band collision to the true near-dups (same rows)
-    return (
-        cand.withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
-        .distinct()
-        .orderBy("doc_a", "doc_b")
+    ma = sh.select(F.col("simhash").alias("sh_a"), F.col("doc_id").alias("da"))
+    mb = sh.select(F.col("simhash").alias("sh_b"), F.col("doc_id").alias("db"))
+    cross = (
+        vpairs.join(ma, "sh_a")
+        .join(mb, "sh_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
     )
+    return within.unionByName(cross).orderBy("doc_a", "doc_b")
 
 
 SIMHASH_NEARDUP_SQL = f"""

@@ -48,6 +48,16 @@ from pyspark.sql import functions as F
 TOP_K = 3
 # G8 switch point (reference uses 10k: data_process.py:545-562)
 BRUTE_FORCE_MAX = 10_000
+# exact-evaluation guard (r6): the ranked-candidate metric family MUST be
+# exact (its frozen oracles are), so it cannot take the ANN dispatch above
+# BRUTE_FORCE_MAX — but its brute kernel's real constraint is the
+# broadcast of n·dim·8 bytes of vectors, not the G8 ANN switch point. At
+# the 64-dim eval schema 262,144 rows is a 134 MB broadcast (within the
+# 8 GB broadcast cap and ordinary executor memory with wide margin); the
+# r5 default of BRUTE_FORCE_MAX made the whole metric family hard-fail at
+# sf1.0 (20,000 rows) for no memory reason. Above this the operator still
+# fails loudly rather than silently approximating.
+EXACT_EVAL_MAX = 262_144
 _MAX_CELL_BITS = 8
 # multi-probe: home cell + three Hamming-1 flips (static so the SQL oracle
 # can enumerate them; distinct cells whenever bits >= 3)
@@ -285,7 +295,7 @@ def exact_cosine_topk(
     spark: SparkSession,
     sf_dir: str,
     k: int = TOP_K,
-    fail_above: int = BRUTE_FORCE_MAX,
+    fail_above: int = EXACT_EVAL_MAX,
 ) -> DataFrame:
     """Guaranteed-exact brute-force top-k for bounded evaluation sets.
 
