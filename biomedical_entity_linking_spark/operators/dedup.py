@@ -667,11 +667,29 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.col("cell").bitwiseXOR(F.lit(f)) for f in _PROBE_FLIPS])
         ).alias("cell"),
     )
-    dot = F.aggregate(
+    hof_dot = F.aggregate(
         F.zip_with(F.col("pv"), F.col("v"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # r6: the per-candidate dot is the query's hot loop (millions of
+    # 64-dim pairs at sf1.0), and aggregate/zip_with HOFs evaluate
+    # INTERPRETED. For the fixed eval dim an unrolled expression —
+    # ((0.0 + p1) + p2) + ... over element-wise products — performs the
+    # IDENTICAL sequence of IEEE-754 operations as the HOF's left fold,
+    # so the doubles are bit-identical, while compiling through
+    # whole-stage codegen; the size guard keeps the general HOF for any
+    # other dimension.
+    _DIM = 64
+    unrolled = F.lit(0.0)
+    for _i in range(1, _DIM + 1):
+        unrolled = unrolled + (
+            F.element_at(F.col("pv"), _i) * F.element_at(F.col("v"), _i)
+        )
+    dot = F.when(
+        (F.size(F.col("pv")) == _DIM) & (F.size(F.col("v")) == _DIM),
+        unrolled,
+    ).otherwise(hof_dot)
 
     pairs = (
         probes.alias("a")
