@@ -25,17 +25,39 @@ OUT = os.path.join(ROOT, "tools", "bench_quiet_ref.json")
 
 
 def _queries_from(path: str) -> dict[str, float]:
+    """Per-query MINIMUM over every bench run recorded in the file.
+
+    Driver artifacts hold several runs (``parsed`` = the median run plus a
+    ``samples`` list with each repeat's own parsed line); the spec is the
+    min across EVERY recorded run, so all of them are harvested (r6: the
+    earlier version read only the median run, leaving refs ~1.5x looser
+    than the best recorded window for the noisiest queries)."""
     try:
         with open(path) as f:
             doc = json.load(f)
     except (OSError, ValueError):
         return {}
-    if isinstance(doc, dict) and "queries" in doc:
-        return doc["queries"]
-    parsed = doc.get("parsed") if isinstance(doc, dict) else None
-    if isinstance(parsed, dict) and "queries" in parsed:
-        return parsed["queries"]
-    return {}
+    if not isinstance(doc, dict):
+        return {}
+    out: dict[str, float] = {}
+
+    def _fold(qs) -> None:
+        if not isinstance(qs, dict):
+            return
+        for name, sec in qs.items():
+            if isinstance(sec, (int, float)) and (
+                name not in out or sec < out[name]
+            ):
+                out[name] = sec
+
+    _fold(doc.get("queries"))
+    parsed = doc.get("parsed")
+    if isinstance(parsed, dict):
+        _fold(parsed.get("queries"))
+    for sample in doc.get("samples") or []:
+        if isinstance(sample, dict) and isinstance(sample.get("parsed"), dict):
+            _fold(sample["parsed"].get("queries"))
+    return out
 
 
 def main() -> None:
