@@ -43,13 +43,29 @@ def char_shingles(s: str, n: int = 3, pad: bool = True) -> set[str]:
     return {s[i : i + n] for i in range(len(s) - n + 1)}
 
 
+# gram → 31-bit hash memo (r6): the blake2b call per gram dominated the
+# Python side of the signature UDF, and the gram universe is vocabulary-
+# bounded (char n-grams over lowercased text), so a worker-lifetime memo
+# of the PURE hash function amortizes it across every title a reused
+# worker processes — the BulkTokenCache precedent from
+# ``functions/embeddings``. Values are identical by construction.
+_GRAM_HASH_CACHE: dict[str, int] = {}
+
+
+def _gram_hash(g: str) -> int:
+    h = _GRAM_HASH_CACHE.get(g)
+    if h is None:
+        h = int.from_bytes(
+            blake2b(g.encode("utf-8"), digest_size=8).digest(), "big"
+        ) & int(_MAX_HASH)
+        if len(_GRAM_HASH_CACHE) < 4_000_000:  # vocabulary-bound safety cap
+            _GRAM_HASH_CACHE[g] = h
+    return h
+
+
 def shingle_hashes(s: str, n: int = 3) -> np.ndarray:
     """Deterministic uint64 hashes of the char-n-gram set (sorted array)."""
-    out = {
-        int.from_bytes(blake2b(g.encode("utf-8"), digest_size=8).digest(), "big")
-        & int(_MAX_HASH)
-        for g in char_shingles(s, n)
-    }
+    out = {_gram_hash(g) for g in char_shingles(s, n)}
     return np.fromiter(out, dtype=np.uint64, count=len(out))
 
 
@@ -92,14 +108,24 @@ class MinHasher:
         return out
 
 
-def band_keys(signature: list[int], bands: int, rows: int) -> list[int]:
+def band_keys(signature, bands: int, rows: int) -> list[int]:
     """LSH banding: hash each band of ``rows`` signature values to one join
-    key. Key encodes the band index so bands never cross-collide."""
+    key. Key encodes the band index so bands never cross-collide.
+
+    Accepts a list of ints or a uint64 ndarray; an ndarray band is packed
+    with one big-endian ``tobytes()`` — byte-identical to the r5
+    per-value ``int.to_bytes`` loop, minus ``rows`` Python conversions
+    per band."""
     keys = []
+    is_arr = isinstance(signature, np.ndarray)
     for b in range(bands):
         h = blake2b(digest_size=8)
         h.update(b.to_bytes(2, "big"))
-        for v in signature[b * rows : (b + 1) * rows]:
-            h.update(int(v).to_bytes(8, "big"))
+        band = signature[b * rows : (b + 1) * rows]
+        if is_arr:
+            h.update(band.astype(">u8").tobytes())
+        else:
+            for v in band:
+                h.update(int(v).to_bytes(8, "big"))
         keys.append(int.from_bytes(h.digest(), "big") >> 1)  # fit in int64
     return keys

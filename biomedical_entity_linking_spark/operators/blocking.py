@@ -64,7 +64,10 @@ def minhash_band_keys_udf(num_perm: int, bands: int, rows: int, ngram: int = 3):
                 if not s.strip():
                     out.append([])  # zero-shingle guard (P8 analog)
                     continue
-                out.append(band_keys([int(v) for v in hashes], bands, rows))
+                # ndarray passed straight through — band_keys packs each
+                # band with one tobytes() (identical key bytes, no
+                # 128-int Python conversion per title)
+                out.append(band_keys(hashes, bands, rows))
             yield pd.Series(out)
 
     return _udf
