@@ -758,8 +758,15 @@ def blanc_over(docs: DataFrame) -> DataFrame:
     Every numerator is non-negative (rn ≥ 0 because p_sys + p_gold −
     p_both ≤ t: together-in-either pairs can't exceed all pairs), so
     plain integer ppm division is engine-exact without the ari
-    sign-split. Zero denominators (no links on a side) follow the
-    reference scorer convention: that component's P/R/F is 0.
+    sign-split. Zero denominators (no links on a side) force that
+    component's P/R/F to 0 and the two F-scores are STILL averaged —
+    an intentional, hash-pinned deviation from the extended BLANC
+    scorer (Luo et al. 2014), which reports only the defined
+    component when the other side is 0/0-degenerate (so perfect
+    all-singleton agreement scores 0.5 here, 1.0 there;
+    ``test_blanc_all_singletons_guard`` codifies 500000 ppm, and the
+    DuckDB oracle mirrors the same rule). Non-degenerate inputs match
+    the reference scorer exactly.
 
     Scale shape (100 TB): identical to muc_quality — ONE item-scale
     shuffle keyed (sys, gold), then bounded sort-free groupBys.

@@ -180,6 +180,16 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         # measured head-to-head at sf0.1 and lost ~1.5 s of first-shot
         # wall to AQE re-planning of 12 adaptive joins; the r5 semi-join
         # update with the pinned repartition stays (OPTIMIZATION_r06.md).
+        # A LAZY edge checkpoint (eager=False, materializing inside the
+        # next round's marked job — one barrier per round) was also
+        # measured and REJECTED: marginal at sf0.1 (~-0.5 s first shot,
+        # tools/kcore_fuse_probe.py) but slower at 10M docs in a
+        # same-window A/B (min @8: 116 s eager vs 133 s fused, worst
+        # fused leg 237 s; min @2: 284 vs 306 s —
+        # tools/kcore_fuse_ab_r6.log): the degree count references the
+        # edge relation twice (a-leg + b-leg), and without an eager
+        # materialization the semi-join update recomputes under each
+        # reference at scale. The eager checkpoint stays.
         und = (
             und.join(alive, und.a == alive.node, "left_semi")
             .join(alive, und.b == alive.node, "left_semi")
